@@ -1,0 +1,105 @@
+"""Topography setup.
+
+Replaces reference src/topsubs.F:41-479. Modes per fluid:
+  'flat'    -- zero topography
+  'define'  -- the reference's built-in test features (mid-Atlantic
+               ridge for the ocean, topsubs.F:120-133; sloping Rockies
+               for the atmosphere, topsubs.F:270-298)
+  ndarray   -- user-supplied physical topography at p points (m)
+  str path  -- NetCDF file with variable dtopoc/dtopat (topsubs.F:165+)
+
+Physical topography D (m) is rescaled to dynamic topography
+ddyn = (f0/H_bottom) * D (topsubs.F:454,467), where the "bottom" layer
+is layer nlo (index -1) for the ocean and layer 1 (index 0) for the
+atmosphere.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Union
+
+import numpy as np
+
+from .config import ModelConfig
+from .grids import Grids
+from .ops.integrals import xintp_weights
+
+TopoSpec = Union[str, np.ndarray]
+
+
+@dataclass(frozen=True)
+class Topography:
+    dtopoc: np.ndarray   # (nypo, nxpo) physical ocean topography (m)
+    ddynoc: np.ndarray   # (nypo, nxpo) dynamic ocean topography (s^-1)
+    davgoc: float
+    dtopat: np.ndarray   # (nypa, nxpa)
+    ddynat: np.ndarray
+    davgat: float
+
+
+def _ocean_define(cfg: ModelConfig, grids: Grids) -> np.ndarray:
+    """Mid-Atlantic ridge test feature (topsubs.F:120-133)."""
+    dxlo, dxhi = 2000.0e3, 2600.0e3
+    dcent = 0.5 * (dxlo + dxhi)
+    dhwid = 0.5 * (dxhi - dxlo)
+    xrel = grids.xpo - grids.xpo[0]
+    ridge = 1000.0 * (1.0 - np.abs(xrel - dcent) / dhwid)
+    ridge = np.maximum(0.0, ridge)
+    return np.broadcast_to(ridge[None, :], (cfg.nypo, cfg.nxpo)).copy()
+
+
+def _atmos_define(cfg: ModelConfig, grids: Grids) -> np.ndarray:
+    """Sloping-ridge 'Rockies' test feature (topsubs.F:270-298)."""
+    dcent, dhwid = 8800.0e3, 1440.0e3
+    xacent = dcent - 2000.0e3 * grids.yparel / (0.5 * grids.yla)
+    topo = 1000.0 * (1.0 - np.abs(grids.xpa[None, :] - xacent[:, None])
+                     / dhwid)
+    return np.maximum(0.0, topo)
+
+
+def _load_netcdf(path: str, var: str, shape) -> np.ndarray:
+    from scipy.io import netcdf_file
+    with netcdf_file(path, "r", mmap=False) as f:
+        data = np.asarray(f.variables[var][:], dtype=np.float64)
+    # reference stores (x, y); we use (y, x)
+    if data.shape == shape:
+        return data
+    if data.shape == shape[::-1]:
+        return data.T
+    raise ValueError(f"{var} in {path} has shape {data.shape}, "
+                     f"expected {shape} (or its transpose)")
+
+
+def build_topography(cfg: ModelConfig, grids: Grids,
+                     topocname: TopoSpec = "flat",
+                     topatname: TopoSpec = "flat") -> Topography:
+    # Ocean
+    if isinstance(topocname, np.ndarray):
+        dtopoc = np.asarray(topocname, dtype=np.float64)
+    elif topocname == "flat":
+        dtopoc = np.zeros((cfg.nypo, cfg.nxpo))
+    elif topocname == "define":
+        dtopoc = _ocean_define(cfg, grids)
+    else:
+        dtopoc = _load_netcdf(topocname, "dtopoc", (cfg.nypo, cfg.nxpo))
+
+    # Atmosphere
+    if isinstance(topatname, np.ndarray):
+        dtopat = np.asarray(topatname, dtype=np.float64)
+    elif topatname == "flat":
+        dtopat = np.zeros((cfg.nypa, cfg.nxpa))
+    elif topatname == "define":
+        dtopat = _atmos_define(cfg, grids)
+    else:
+        dtopat = _load_netcdf(topatname, "dtopat", (cfg.nypa, cfg.nxpa))
+
+    wo = xintp_weights(cfg.nypo, cfg.nxpo)
+    wa = xintp_weights(cfg.nypa, cfg.nxpa)
+    davgoc = float((dtopoc * wo).sum() * cfg.ocnorm)
+    davgat = float((dtopat * wa).sum() * cfg.atnorm)
+
+    ddynoc = (cfg.fnot / cfg.ocean.hoc[-1]) * dtopoc
+    ddynat = (cfg.fnot / cfg.atmos.hat[0]) * dtopat
+    return Topography(dtopoc=dtopoc, ddynoc=ddynoc, davgoc=davgoc,
+                      dtopat=dtopat, ddynat=ddynat, davgat=davgat)

@@ -1,0 +1,98 @@
+"""Helmholtz solver tests: DST round-trip, residual of the discrete
+operator, and equivalence with the reference's FFT+Thomas formulation
+(via the retained thomas_solve)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from qgcm_tpu.solver.helmholtz import (
+    dst1, make_box_helmholtz, make_cyclic_helmholtz, thomas_solve)
+
+
+def test_dst1_round_trip():
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((3, 17, 31))
+    n = x.shape[-1]
+    out = dst1(dst1(jnp.asarray(x), axis=-1), axis=-1)
+    np.testing.assert_allclose(np.asarray(out), 2 * (n + 1) * x, rtol=1e-12)
+
+
+def test_dst1_matches_direct():
+    rng = np.random.default_rng(1)
+    n = 13
+    x = rng.standard_normal(n)
+    j = np.arange(1, n + 1)
+    k = np.arange(1, n + 1)
+    direct = 2 * np.sin(np.pi * np.outer(k, j) / (n + 1)) @ x
+    out = np.asarray(dst1(jnp.asarray(x)))
+    np.testing.assert_allclose(out, direct, rtol=1e-11, atol=1e-12)
+
+
+def _residual_box(sol, rhs, dx, dy, rdm2):
+    """5-point del^2 sol - rdm2*sol on the interior, minus rhs."""
+    lap = (sol[..., 1:-1, :-2] + sol[..., 1:-1, 2:]) / dx**2 \
+        + (sol[..., :-2, 1:-1] + sol[..., 2:, 1:-1]) / dy**2 \
+        - 2.0 * (1.0 / dx**2 + 1.0 / dy**2) * sol[..., 1:-1, 1:-1]
+    return lap - rdm2[:, None, None] * sol[..., 1:-1, 1:-1] \
+        - rhs[..., 1:-1, 1:-1]
+
+
+def test_box_solver_residual():
+    rng = np.random.default_rng(2)
+    nxp, nyp = 33, 25
+    dx, dy = 5e3, 5e3
+    rdm2 = np.array([0.0, 1.0 / 40e3**2, 1.0 / 20e3**2])
+    solver = make_box_helmholtz(nxp, nyp, dx, dy, rdm2)
+    rhs = rng.standard_normal((3, nyp, nxp)) * 1e-9
+    sol = np.asarray(solver.solve(jnp.asarray(rhs)))
+    # Dirichlet boundaries
+    assert np.all(sol[:, 0, :] == 0) and np.all(sol[:, -1, :] == 0)
+    assert np.all(sol[:, :, 0] == 0) and np.all(sol[:, :, -1] == 0)
+    res = _residual_box(sol, rhs, dx, dy, rdm2)
+    assert np.max(np.abs(res)) < 1e-9 * np.max(np.abs(rhs))
+
+
+def test_cyclic_solver_residual():
+    rng = np.random.default_rng(3)
+    nxp, nyp = 33, 25   # nx = 32 columns distinct
+    dx, dy = 5e3, 5e3
+    rdm2 = np.array([0.0, 1.0 / 40e3**2])
+    solver = make_cyclic_helmholtz(nxp, nyp, dx, dy, rdm2)
+    rhs = rng.standard_normal((2, nyp, nxp)) * 1e-9
+    rhs[..., -1] = rhs[..., 0]
+    sol = np.asarray(solver.solve(jnp.asarray(rhs)))
+    assert np.allclose(sol[..., -1], sol[..., 0])
+    assert np.all(sol[:, 0, :] == 0) and np.all(sol[:, -1, :] == 0)
+    # residual on interior incl. wrapped columns
+    ext = np.concatenate([sol[..., -2:-1], sol], axis=-1)  # west ghost
+    lap = (ext[..., 1:-1, :-2] + ext[..., 1:-1, 2:]) / dx**2 \
+        + (ext[..., :-2, 1:-1] + ext[..., 2:, 1:-1]) / dy**2 \
+        - 2.0 * (1 / dx**2 + 1 / dy**2) * ext[..., 1:-1, 1:-1]
+    res = lap - rdm2[:, None, None] * sol[:, 1:-1, :-1] \
+        - rhs[:, 1:-1, :-1]
+    assert np.max(np.abs(res)) < 1e-9 * np.max(np.abs(rhs))
+
+
+def test_spectral_matches_thomas():
+    """The 2-D spectral solve must reproduce the reference's
+    x-transform + y-tridiagonal algorithm to roundoff."""
+    rng = np.random.default_rng(4)
+    nxp, nyp = 17, 21
+    nx = nxp - 1
+    dx = dy = 4e3
+    rdm2 = np.array([1.0 / 30e3**2])
+    solver = make_box_helmholtz(nxp, nyp, dx, dy, rdm2)
+    rhs = rng.standard_normal((1, nyp, nxp)) * 1e-9
+    sol = np.asarray(solver.solve(jnp.asarray(rhs)))
+
+    # reference algorithm: DST in x, Thomas in y, inverse DST
+    aoc = 1.0 / dy**2
+    k = np.arange(1, nx)
+    bd2 = -2.0 * aoc + 2.0 / dx**2 * (np.cos(np.pi * k / nx) - 1.0)
+    spec_x = np.asarray(dst1(jnp.asarray(rhs[0, 1:-1, 1:-1]), axis=-1))
+    diag = jnp.asarray(bd2 - rdm2[0])
+    tsol = np.asarray(thomas_solve(diag, aoc, jnp.asarray(spec_x)))
+    back = np.asarray(dst1(jnp.asarray(tsol), axis=-1)) / (2 * nx)
+    np.testing.assert_allclose(sol[0, 1:-1, 1:-1], back,
+                               rtol=1e-10, atol=1e-22)
