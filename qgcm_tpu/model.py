@@ -128,7 +128,7 @@ def _channel_homogeneous(helm, nyp: int, nxp: int, yp: np.ndarray,
     # Build a solver over the baroclinic modes (each repeated twice)
     rd = np.repeat(rdm2[1:], 2)
     sub = make_cyclic_helmholtz(nxp, nyp, dx, dy, rd, dtype=jnp.float64)
-    sol = np.asarray(sub.solve(jnp.asarray(rhs)))
+    sol = sub.solve_np(rhs)
 
     pch1 = np.empty((nl - 1, nyp))
     pch2 = np.empty((nl - 1, nyp))
@@ -195,8 +195,8 @@ def _build_ocean_inversion(cfg: ModelConfig, grids: Grids,
     helm = make_box_helmholtz(nxpo, nypo, dxo, dyo, modes.rdm2, dtype=dtype)
     sub = make_box_helmholtz(nxpo, nypo, dxo, dyo, modes.rdm2[1:],
                              dtype=jnp.float64)
-    ones = jnp.ones((nlo - 1, nypo, nxpo), dtype=jnp.float64)
-    sol0 = np.asarray(sub.solve(ones))
+    ones = np.ones((nlo - 1, nypo, nxpo))
+    sol0 = sub.solve_np(ones)
     ochom = 1.0 + modes.rdm2[1:, None, None] * sol0
     aipohs = (ochom * wop[None]).sum(axis=(1, 2)) * dxo * dyo
 

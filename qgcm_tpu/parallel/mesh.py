@@ -1,0 +1,78 @@
+"""Device mesh + sharding specifications.
+
+The reference's only parallelism is OpenMP loops over grid rows
+(src/Structure:60-85). The TPU-native equivalent is 2-D spatial domain
+decomposition: fields are sharded (y, x) over a Mesh and the jitted step
+runs under GSPMD, which inserts the halo exchanges (collective-permutes)
+for the stencils and the all-to-alls for the spectral solves
+automatically over ICI. Constraint scalars and mode vectors stay
+replicated.
+
+Axis names: 'y' then 'x' -- matching the [..., y, x] array convention.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Sequence
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..state import OceanState, AtmosState, OceanForcing, AtmosForcing
+
+
+def make_mesh(devices: Sequence[jax.Device] | None = None) -> Mesh:
+    """2-D ('y','x') mesh, as square as the device count allows."""
+    if devices is None:
+        devices = jax.devices()
+    n = len(devices)
+    ny = int(math.sqrt(n))
+    while n % ny:
+        ny -= 1
+    import numpy as np
+    return Mesh(np.asarray(devices).reshape(ny, n // ny), ("y", "x"))
+
+
+def _field_spec(x) -> P:
+    """Spatial fields (>=2 dims, trailing y,x) shard over the mesh;
+    small vectors/scalars replicate."""
+    if x.ndim >= 3:
+        return P(*([None] * (x.ndim - 2) + ["y", "x"]))
+    if x.ndim == 2:
+        return P("y", "x")
+    return P()
+
+
+def _divisible_spec(mesh: Mesh, x) -> P:
+    """Like _field_spec but drops mesh axes that do not divide the dim
+    (p-grids are N+1 points; device_put demands exact divisibility --
+    inside jit, `with_sharding_constraint` handles the uneven case)."""
+    spec = _field_spec(x)
+    fixed = tuple(
+        ax if (ax is None or x.shape[d] % mesh.shape[ax] == 0) else None
+        for d, ax in enumerate(spec))
+    return P(*fixed)
+
+
+def shard_tree(tree, mesh: Mesh):
+    """Initial device placement (host -> mesh). Non-divisible axes stay
+    replicated; the jitted step's sharding constraints then settle the
+    layout (GSPMD pads uneven shards)."""
+    return jax.tree_util.tree_map(
+        lambda x: jax.device_put(
+            x, NamedSharding(mesh, _divisible_spec(mesh, x))), tree)
+
+
+def constrain_tree(tree, mesh: Mesh):
+    """In-jit sharding constraints pinning fields to the spatial mesh.
+    Supports uneven (padded) shards -- usable on N+1 p-grids."""
+    return jax.tree_util.tree_map(
+        lambda x: jax.lax.with_sharding_constraint(
+            x, NamedSharding(mesh, _field_spec(x))), tree)
+
+
+# Aliases used by the driver entry and runners
+shard_ocean = shard_tree
+shard_atmos = shard_tree
+shard_forcing = shard_tree

@@ -56,6 +56,18 @@ def dst1(x: jnp.ndarray, axis: int = -1) -> jnp.ndarray:
     return jnp.moveaxis(X, -1, axis)
 
 
+def dst1_np(x: np.ndarray, axis: int = -1) -> np.ndarray:
+    """NumPy twin of `dst1` for host-side (init-time) solves -- model
+    initialisation must never compile f64 FFTs for the TPU backend."""
+    x = np.moveaxis(np.asarray(x, dtype=np.float64), axis, -1)
+    n = x.shape[-1]
+    z = np.zeros(x.shape[:-1] + (2 * (n + 1),), dtype=np.float64)
+    z[..., 1:n + 1] = x
+    z[..., n + 2:] = -x[..., ::-1]
+    X = -np.fft.rfft(z, axis=-1).imag[..., 1:n + 1]
+    return np.moveaxis(X, -1, axis)
+
+
 def thomas_solve(diag: jnp.ndarray, offdiag: float, rhs: jnp.ndarray):
     """Sequential tridiagonal solve along axis -2 (y), vectorised over the
     trailing axis. diag: (..., nx) per-column constant diagonal;
@@ -98,6 +110,7 @@ class BoxHelmholtz:
     nyp: int
     denom_inv: jnp.ndarray   # (nm, nyp-2, nxp-2) inverse eigenvalues
     norm: float              # combined inverse-transform normalisation
+    denom_inv_np: np.ndarray = None   # float64 host copy (init-time solves)
 
     def solve(self, rhs: jnp.ndarray) -> jnp.ndarray:
         """rhs: (nm, nyp, nxp); returns solution with zero boundaries."""
@@ -106,6 +119,15 @@ class BoxHelmholtz:
         spec = spec * self.denom_inv
         sol = dst1(dst1(spec, axis=-1), axis=-2) * self.norm
         return jnp.pad(sol, [(0, 0)] * (rhs.ndim - 2) + [(1, 1), (1, 1)])
+
+    def solve_np(self, rhs: np.ndarray) -> np.ndarray:
+        """Host-side float64 solve (model initialisation only)."""
+        rhs = np.asarray(rhs, dtype=np.float64)
+        interior = rhs[..., 1:-1, 1:-1]
+        spec = dst1_np(dst1_np(interior, axis=-1), axis=-2)
+        spec = spec * self.denom_inv_np
+        sol = dst1_np(dst1_np(spec, axis=-1), axis=-2) * self.norm
+        return np.pad(sol, [(0, 0)] * (rhs.ndim - 2) + [(1, 1), (1, 1)])
 
 
 @dataclass(frozen=True)
@@ -121,6 +143,7 @@ class CyclicHelmholtz:
     nyp: int
     denom_inv: jnp.ndarray   # (nm, nyp-2, nx//2+1)
     norm: float
+    denom_inv_np: np.ndarray = None   # float64 host copy (init-time solves)
 
     def solve(self, rhs: jnp.ndarray) -> jnp.ndarray:
         nx = self.nxp - 1
@@ -132,6 +155,19 @@ class CyclicHelmholtz:
         sol = jnp.fft.irfft(spec, n=nx, axis=-1).astype(rhs.dtype) * self.norm
         sol = jnp.concatenate([sol, sol[..., :1]], axis=-1)
         return jnp.pad(sol, [(0, 0)] * (rhs.ndim - 2) + [(1, 1), (0, 0)])
+
+    def solve_np(self, rhs: np.ndarray) -> np.ndarray:
+        """Host-side float64 solve (model initialisation only)."""
+        rhs = np.asarray(rhs, dtype=np.float64)
+        nx = self.nxp - 1
+        interior = rhs[..., 1:-1, :nx]
+        spec = np.fft.rfft(interior, axis=-1)
+        spec = dst1_np(spec.real, axis=-2) + 1j * dst1_np(spec.imag, axis=-2)
+        spec = spec * self.denom_inv_np
+        spec = dst1_np(spec.real, axis=-2) + 1j * dst1_np(spec.imag, axis=-2)
+        sol = np.fft.irfft(spec, n=nx, axis=-1) * self.norm
+        sol = np.concatenate([sol, sol[..., :1]], axis=-1)
+        return np.pad(sol, [(0, 0)] * (rhs.ndim - 2) + [(1, 1), (0, 0)])
 
 
 def make_box_helmholtz(nxp: int, nyp: int, dx: float, dy: float,
@@ -147,7 +183,7 @@ def make_box_helmholtz(nxp: int, nyp: int, dx: float, dy: float,
     norm = 1.0 / (2.0 * nx) / (2.0 * ny)
     return BoxHelmholtz(nxp=nxp, nyp=nyp,
                         denom_inv=jnp.asarray(1.0 / denom, dtype=dtype),
-                        norm=norm)
+                        norm=norm, denom_inv_np=1.0 / denom)
 
 
 def make_cyclic_helmholtz(nxp: int, nyp: int, dx: float, dy: float,
@@ -163,4 +199,4 @@ def make_cyclic_helmholtz(nxp: int, nyp: int, dx: float, dy: float,
     norm = 1.0 / (2.0 * ny)                    # rfft/irfft self-normalising
     return CyclicHelmholtz(nxp=nxp, nyp=nyp,
                            denom_inv=jnp.asarray(1.0 / denom, dtype=dtype),
-                           norm=norm)
+                           norm=norm, denom_inv_np=1.0 / denom)
