@@ -23,6 +23,7 @@ from .grids import Grids, build_grids
 from .modes import Modes, eigenmodes
 from .radiation import Radiation, radiat
 from .topo import Topography, build_topography, TopoSpec
+from .coupling import Coupling, build_coupling
 from .ops.integrals import xintp_weights
 from .solver.helmholtz import (
     BoxHelmholtz, CyclicHelmholtz, make_box_helmholtz, make_cyclic_helmholtz,
@@ -77,6 +78,7 @@ class Model:
     topo: Topography
     inv_oc: Optional[OceanInversion]
     inv_at: Optional[AtmosInversion]
+    coupling: Optional[Coupling]
     wop: jnp.ndarray                 # (nypo, nxpo) p-grid integral weights
     wap: jnp.ndarray                 # (nypa, nxpa)
     r_spl: Optional[jnp.ndarray]     # (nypo, nxpo) k247 sponge ramp
@@ -266,9 +268,13 @@ def build_model(cfg: ModelConfig,
     r_spl = (jnp.asarray(_sponge_ramp(cfg), dtype=dtype)
              if cfg.sponge.enabled else None)
 
+    coupling = (build_coupling(cfg, grids, rad)
+                if (not cfg.ocean_only or cfg.tau_udiff) else None)
+
     return Model(
         cfg=cfg, grids=grids, modes_oc=modes_oc, modes_at=modes_at,
         rad=rad, topo=topo, inv_oc=inv_oc, inv_at=inv_at,
+        coupling=coupling,
         wop=jnp.asarray(wop, dtype=dtype),
         wap=jnp.asarray(wap, dtype=dtype),
         r_spl=r_spl,

@@ -359,9 +359,11 @@ def _ocinvq(model: Model, state: OceanState, qo_new: jnp.ndarray,
         aipmod = aipmod.at[1:].add((c1 + c2) * inv.aipcho)
         aiplay = cm2l @ aipmod
 
-        # Continuity monitoring + update (ocisubs.F:266-294)
+        # Continuity monitoring + update (ocisubs.F:266-294);
+        # entrainment acts across interface 1 only (xon(k>1) = 0)
+        aient = jnp.zeros(nlo - 1, dtype=dtype).at[0].set(xon1)
         est1 = aiplay[1:] - aiplay[:-1]
-        est2 = state.dpiocp - tdto * gpoc * xon1
+        est2 = state.dpiocp - tdto * gpoc * aient
         edif = est1 - est2
         esum = jnp.abs(est1) + jnp.abs(est2)
         ermaso = edif

@@ -22,8 +22,9 @@ import jax
 import jax.numpy as jnp
 
 from ..model import Model
-from ..state import OceanState, OceanForcing
+from ..state import OceanState, OceanForcing, AtmosState, AtmosForcing
 from .ocean import make_ocean_step
+from .atmos import make_atmos_step
 
 OCEAN_AVG_PERIOD = 25   # ocean substeps between time-level averagings
 ATMOS_AVG_PERIOD = 100  # atmos steps between averagings
@@ -39,6 +40,19 @@ def average_ocean_levels(st: OceanState) -> OceanState:
         dpioc=0.5 * (st.dpioc + st.dpiocp),
         ocncs=0.5 * (st.ocncs + st.ocncsp),
         ocncn=0.5 * (st.ocncn + st.ocncnp),
+    )
+
+
+def average_atmos_levels(st: AtmosState) -> AtmosState:
+    """Atmospheric analogue (q-gcm.F:1370-1407)."""
+    return st._replace(
+        pa=0.5 * (st.pa + st.pam),
+        qa=0.5 * (st.qa + st.qam),
+        ast=0.5 * (st.ast + st.astm),
+        hmixa=0.5 * (st.hmixa + st.hmixam),
+        dpiat=0.5 * (st.dpiat + st.dpiatp),
+        atmcs=0.5 * (st.atmcs + st.atmcsp),
+        atmcn=0.5 * (st.atmcn + st.atmcnp),
     )
 
 
@@ -63,6 +77,92 @@ def make_ocean_only_runner(model: Model, jit: bool = True):
         (state, _), _ = jax.lax.scan(
             body, (state, jnp.asarray(step0)), None, length=n_steps)
         return state
+
+    if jit:
+        run = jax.jit(run, static_argnames=("n_steps",))
+    return run
+
+
+def make_atmos_only_runner(model: Model, jit: bool = True):
+    """Atmosphere-only mode: the ocean surface is a prescribed mean SST
+    field (reference q-gcm.F:752-826 reads it from avges.nc). xforc is
+    re-evaluated every step-cadence nstr exactly as when coupled.
+
+    Returns run(state, sst_mean, n_steps, step0=0) -> state.
+    """
+    from ..coupling import make_xforc
+    xforc = make_xforc(model)
+    step = make_atmos_step(model)
+    nstr = model.cfg.nstr
+
+    def forcing_of(at: AtmosState, sst_mean):
+        _, afor, _ = xforc(at.pam, None, sst_mean, at.astm, at.hmixam)
+        return afor
+
+    def run(state: AtmosState, sst_mean, n_steps: int, step0=0):
+        def body(carry, _):
+            at, afor, n = carry
+            afor = jax.lax.cond(n % nstr == 0,
+                                lambda a: forcing_of(a, sst_mean),
+                                lambda a: afor, at)
+            at, _diags = step(at, afor)
+            at = jax.lax.cond(n % ATMOS_AVG_PERIOD == 0,
+                              average_atmos_levels, lambda s: s, at)
+            return (at, afor, n + 1), None
+
+        afor0 = forcing_of(state, sst_mean)
+        (state, _, _), _ = jax.lax.scan(
+            body, (state, afor0, jnp.asarray(step0)), None,
+            length=n_steps)
+        return state
+
+    if jit:
+        run = jax.jit(run, static_argnames=("n_steps",))
+    return run
+
+
+def make_coupled_runner(model: Model, jit: bool = True):
+    """Fully coupled ocean-atmosphere stepping (main loop
+    q-gcm.F:1220-1491): every atmospheric step runs the atmosphere;
+    every nstr-th step first recomputes the forcing (xforc) and takes
+    one ocean substep with dto = nstr*dta.
+
+    Returns run(ocean, atmos, n_steps, step0=0) -> (ocean, atmos).
+    `n_steps` counts ATMOSPHERIC steps; step0 keeps the coupling and
+    averaging cadences aligned across host-side chunks.
+    """
+    from ..coupling import make_xforc
+    xforc = make_xforc(model)
+    ostep = make_ocean_step(model)
+    astep = make_atmos_step(model)
+    nstr = model.cfg.nstr
+
+    def couple(carry):
+        oc, at, ofor, afor = carry
+        ofor_new, afor_new, _xdiags = xforc(
+            at.pam, oc.pom, oc.sstm, at.astm, at.hmixam)
+        oc_new, _odiags = ostep(oc, ofor_new)
+        return oc_new, ofor_new, afor_new
+
+    def run(ocean: OceanState, atmos: AtmosState, n_steps: int, step0=0):
+        def body(carry, _):
+            oc, at, ofor, afor, n = carry
+            oc, ofor, afor = jax.lax.cond(
+                n % nstr == 0, couple,
+                lambda c: (c[0], c[2], c[3]), (oc, at, ofor, afor))
+            oc = jax.lax.cond(n % (OCEAN_AVG_PERIOD * nstr) == 0,
+                              average_ocean_levels, lambda s: s, oc)
+            at, _adiags = astep(at, afor)
+            at = jax.lax.cond(n % ATMOS_AVG_PERIOD == 0,
+                              average_atmos_levels, lambda s: s, at)
+            return (oc, at, ofor, afor, n + 1), None
+
+        ofor0, afor0, _ = xforc(atmos.pam, ocean.pom, ocean.sstm,
+                                atmos.astm, atmos.hmixam)
+        (ocean, atmos, _, _, _), _ = jax.lax.scan(
+            body, (ocean, atmos, ofor0, afor0, jnp.asarray(step0)),
+            None, length=n_steps)
+        return ocean, atmos
 
     if jit:
         run = jax.jit(run, static_argnames=("n_steps",))
