@@ -1,0 +1,219 @@
+"""Command-line interface.
+
+Replaces the reference's Ruby experiment workflow (exec_qgcm.rb: make
+output dir, generate forcing/restart, launch job) and the standalone
+k247 Fortran generators:
+
+  qgcm run <case-dir>         -- run an experiment; the case dir holds
+                                 input.params (+ optional avges.nc /
+                                 restart.nc); results land in
+                                 <case-dir>/outdata (exec_qgcm.rb:22-97)
+  qgcm prepare <case-dir>     -- generate IC/forcing files
+                                 (k247_make_{restart,forcing}_q-gcm.F90)
+  qgcm analyze <outdata-dir>  -- energy/diagnostics report from
+                                 monit.nc (qgcm_k247.rb checks)
+
+Grid dimensions come from --preset (config.PRESETS) or explicit flags,
+mirroring the reference's compile-time parameters_data.F presets.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+import numpy as np
+
+
+def _base_config(args):
+    from .config import PRESETS, ModelConfig
+    if args.preset:
+        cfg = PRESETS[args.preset]()
+    else:
+        cfg = ModelConfig(ocean_only=args.ocean_only,
+                          atmos_only=args.atmos_only,
+                          cyclic_ocean=args.cyclic_ocean)
+    over = {}
+    for k in ("nxta", "nyta", "nxaooc", "nyaooc", "ndxr"):
+        v = getattr(args, k, None)
+        if v is not None:
+            over[k] = v
+    if args.fnot is not None:
+        over["fnot"] = args.fnot
+    if args.beta is not None:
+        over["beta"] = args.beta
+    if args.dtype is not None:
+        over["dtype"] = args.dtype
+    if over:
+        cfg = cfg.replace(**over)
+    if args.ocean_only:
+        cfg = cfg.replace(ocean_only=True)
+    if args.atmos_only:
+        cfg = cfg.replace(atmos_only=True)
+    return cfg.validate()
+
+
+def cmd_run(args):
+    from .params import parse_input_params, RunParams
+    from .run import run_case
+    from .io import read_mean_forcing, read_mean_sst
+
+    case = args.case
+    ppath = os.path.join(case, "input.params")
+    params = parse_input_params(ppath) if os.path.exists(ppath) \
+        else RunParams()
+    if args.trun is not None:
+        params.trun = args.trun
+    # restart file path is relative to the case dir
+    if params.name not in ("zero", "rbal"):
+        params.name = os.path.normpath(os.path.join(case, params.name))
+    cfg = _base_config(args)
+    outdir = args.outdir or os.path.join(case, "outdata")
+
+    mean_forcing = None
+    sst_mean = None
+    avpath = os.path.join(case, "avges.nc")
+    if cfg.ocean_only:
+        if os.path.exists(avpath):
+            mean_forcing = read_mean_forcing(avpath)
+        else:
+            from .generators import zero_forcing
+            print("no avges.nc in case dir; using zero mean forcing")
+            mean_forcing = zero_forcing(cfg)
+    if cfg.atmos_only:
+        sst_mean = read_mean_sst(avpath)
+
+    res = run_case(params, cfg, outdir, sst_mean=sst_mean,
+                   mean_forcing=mean_forcing, verbose=not args.quiet)
+    print(f"done: {res.steps_done} steps, t={res.tyrs:.4f} years"
+          + (" [ABORTED ON VALIDITY FAILURE]" if res.aborted else ""))
+    return 1 if res.aborted else 0
+
+
+def cmd_prepare(args):
+    """Generate restart.nc (analytic eddy IC) and/or avges.nc (mean
+    forcing) into the case dir."""
+    from .model import build_model
+    from .generators import (eddy_pressure, zero_forcing,
+                             double_gyre_windstress)
+    from .models.ocean import init_ocean_state
+    from .models.atmos import init_atmos_state
+    from .io import save_restart
+    from .io.forcing import write_mean_forcing
+    from .params import parse_input_params, params_to_config
+
+    cfg = _base_config(args)
+    # layer counts/physics must match the case's input.params
+    ppath = os.path.join(args.case, "input.params")
+    if os.path.exists(ppath):
+        cfg = params_to_config(parse_input_params(ppath), cfg)
+    model = build_model(cfg)
+    os.makedirs(args.case, exist_ok=True)
+
+    if args.eddy_amp is not None:
+        po = eddy_pressure(cfg, ssh_amp=args.eddy_amp,
+                           l_efold=args.eddy_scale)
+        oc = init_ocean_state(model, po=po)
+    else:
+        oc = init_ocean_state(model, init="rbal")
+    at = init_atmos_state(model, init="rbal")
+    save_restart(os.path.join(args.case, "restart.nc"), model, oc, at,
+                 0.0)
+    print(f"wrote {args.case}/restart.nc")
+
+    if args.forcing == "zero":
+        f = zero_forcing(cfg)
+    else:
+        f = double_gyre_windstress(cfg, model.grids, tau0=args.tau0)
+    write_mean_forcing(os.path.join(args.case, "avges.nc"), model, *f)
+    print(f"wrote {args.case}/avges.nc")
+    return 0
+
+
+def cmd_analyze(args):
+    """Energy/diagnostics summary from monit.nc (the checks the Ruby
+    layer runs: KE/PE series, constraint errors, CFL)."""
+    from scipy.io import netcdf_file
+
+    path = os.path.join(args.outdata, "monit.nc")
+    with netcdf_file(path, "r", mmap=False) as f:
+        t = f.variables["time"][:].copy()
+        print(f"monit.nc: {len(t)} records, t = {t[0]:.4f}.."
+              f"{t[-1]:.4f} years")
+
+        def series(name):
+            return (f.variables[name][:].copy()
+                    if name in f.variables else None)
+
+        for fluid, kname in (("ocean", "kealoc"), ("atmos", "kealat")):
+            ke = series(kname)
+            if ke is None:
+                continue
+            print(f"\n{fluid}: KE per layer (J/m^2)")
+            print("  first:", np.array2string(ke[0], precision=4))
+            print("  last: ", np.array2string(ke[-1], precision=4))
+        for name in ("utauoc", "btdgoc", "pkenoc", "utauat", "olrtop",
+                     "cnqgoc", "cnqgat", "cnmlat"):
+            s = series(name)
+            if s is not None:
+                print(f"{name}: mean={s.mean():.4e} last={s[-1]:.4e}")
+        for name in ("emfroc", "emfrat"):
+            s = series(name)
+            if s is not None:
+                worst = np.abs(s).max()
+                print(f"{name}: worst fractional error = {worst:.2e}")
+    return 0
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="qgcm")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    def add_grid(p):
+        p.add_argument("--preset", choices=[
+            "double_gyre_ocean_only", "double_gyre_coupled",
+            "southern_ocean_ocean_only", "southern_ocean_coupled",
+            "k247_default", "natl_1km"])
+        for k in ("nxta", "nyta", "nxaooc", "nyaooc", "ndxr"):
+            p.add_argument(f"--{k}", type=int)
+        p.add_argument("--fnot", type=float)
+        p.add_argument("--beta", type=float)
+        p.add_argument("--dtype", choices=["float32", "float64"])
+        p.add_argument("--ocean-only", action="store_true",
+                       dest="ocean_only")
+        p.add_argument("--atmos-only", action="store_true",
+                       dest="atmos_only")
+        p.add_argument("--cyclic-ocean", action="store_true",
+                       dest="cyclic_ocean")
+
+    pr = sub.add_parser("run", help="run an experiment case")
+    pr.add_argument("case")
+    pr.add_argument("--outdir")
+    pr.add_argument("--trun", type=float,
+                    help="override run length (years)")
+    pr.add_argument("--quiet", action="store_true")
+    add_grid(pr)
+    pr.set_defaults(fn=cmd_run)
+
+    pp = sub.add_parser("prepare", help="generate IC/forcing files")
+    pp.add_argument("case")
+    pp.add_argument("--eddy-amp", type=float, default=None,
+                    help="Gaussian eddy SSH amplitude (m)")
+    pp.add_argument("--eddy-scale", type=float, default=80.0e3)
+    pp.add_argument("--forcing", choices=["zero", "double-gyre"],
+                    default="zero")
+    pp.add_argument("--tau0", type=float, default=2.0e-5)
+    add_grid(pp)
+    pp.set_defaults(fn=cmd_prepare)
+
+    pa = sub.add_parser("analyze", help="summarise a run's monit.nc")
+    pa.add_argument("outdata")
+    pa.set_defaults(fn=cmd_analyze)
+
+    args = ap.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

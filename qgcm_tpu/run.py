@@ -1,0 +1,332 @@
+"""Experiment driver: the reference main program's run loop.
+
+Replaces the orchestration half of src/q-gcm.F (main loop
+q-gcm.F:1220-1491) and the Ruby case workflow (exec_qgcm.rb): builds
+the model, initialises state (zero / rbal / restart file), then runs
+the time loop as jitted `lax.scan` chunks -- physics and running-mean
+accumulation stay on device; the host wakes only at I/O-cadence
+boundaries to run the validity scan, write snapshots/monitoring/
+restart files, and print progress.
+
+Cadences (converted from days to steps as in q-gcm.F:640-700):
+  valday -> validity scan      odiday/adiday -> snapshot dumps
+  dgnday -> monitoring         prtday -> stdout sample
+  resday -> restart dump (only written if the state passes valids --
+            last-good-checkpoint semantics, q-gcm.F:1413-1416)
+  dtavoc/dtavat -> running means written to avges.nc
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import time
+from dataclasses import dataclass
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .model import Model, build_model
+from .params import RunParams, params_to_config, write_matlab_params, \
+    SECDAY, SECSYR
+from .state import OceanState, AtmosState, OceanForcing, AtmosForcing
+from .models.ocean import (make_ocean_step, init_ocean_state,
+                           ocean_forcing_from_mean)
+from .models.atmos import make_atmos_step, init_atmos_state
+from .models.stepper import (average_ocean_levels, average_atmos_levels,
+                             OCEAN_AVG_PERIOD, ATMOS_AVG_PERIOD)
+from .diags import valids, compute_monitor, MonitorWriter
+from .diags.timavge import (zero_ocean_averages, zero_atmos_averages,
+                            accumulate_ocean, accumulate_atmos,
+                            write_avges)
+from .io import (save_restart, load_restart, OceanSnapshots,
+                 AtmosSnapshots, read_mean_forcing, read_mean_sst)
+
+
+def _gcd_all(vals):
+    g = 0
+    for v in vals:
+        if v:
+            g = math.gcd(g, int(v))
+    return max(g, 1)
+
+
+@dataclass
+class RunResult:
+    ocean: Optional[OceanState]
+    atmos: Optional[AtmosState]
+    steps_done: int
+    tyrs: float
+    aborted: bool
+
+
+class Driver:
+    def __init__(self, model: Model, params: RunParams, outdir: str,
+                 sst_mean=None, mean_forcing=None, verbose: bool = True):
+        cfg = model.cfg
+        self.model = model
+        self.p = params
+        self.outdir = outdir
+        self.verbose = verbose
+        os.makedirs(outdir, exist_ok=True)
+
+        self.has_oc = not cfg.atmos_only
+        self.has_at = not cfg.ocean_only
+        p = params
+        dta, nstr = cfg.dta, cfg.nstr
+
+        def steps(days, mult=1):
+            if days <= 0:
+                return 0
+            n = max(1, round(days * SECDAY / dta))
+            return max(mult, (n // mult) * mult)
+
+        self.nsteps = max(nstr, round(p.trun * SECSYR / dta))
+        self.nvalid = steps(p.valday)
+        self.noutoc = steps(p.odiday, nstr)
+        self.noutat = steps(p.adiday)
+        self.nmonit = steps(p.dgnday)
+        self.nprint = steps(p.prtday)
+        self.nrestart = steps(p.resday)
+        self.ntavoc = steps(p.dtavoc, nstr)
+        self.ntavat = steps(p.dtavat)
+        self.chunk = _gcd_all([
+            self.nvalid, self.noutoc, self.noutat, self.nmonit,
+            self.nprint, self.nrestart, self.ntavoc, self.ntavat]) \
+            or max(1, self.nvalid)
+        self.chunk = max(self.chunk, nstr)
+
+        # static surface fields for single-fluid modes
+        self.sst_mean = (jnp.asarray(sst_mean, jnp.dtype(cfg.dtype))
+                         if sst_mean is not None else None)
+        self.mean_forcing = mean_forcing   # (tauxo, tauyo, fnetoc)
+
+        self._build_step_fns()
+
+    # ------------------------------------------------------------------
+    def _build_step_fns(self):
+        model = self.model
+        cfg = model.cfg
+        nstr = cfg.nstr
+        has_oc, has_at = self.has_oc, self.has_at
+        dxo, fnot = model.grids.dxo, cfg.fnot
+
+        ostep = make_ocean_step(model) if has_oc else None
+        astep = make_atmos_step(model) if has_at else None
+        if has_at:
+            from .coupling import make_xforc
+            xforc = make_xforc(model)
+
+        def chunk_fn(carry, n_steps, step0):
+            def body(c, _):
+                oc, at, ofor, afor, oacc, aacc, n = c
+                if has_at and has_oc:        # coupled
+                    def couple(args):
+                        oc, at, ofor, afor, oacc = args
+                        ofor2, afor2, _ = xforc(at.pam, oc.pom, oc.sstm,
+                                                at.astm, at.hmixam)
+                        oc2, _ = ostep(oc, ofor2)
+                        oacc2 = accumulate_ocean(oacc, oc2, ofor2,
+                                                 dxo, fnot)
+                        return oc2, ofor2, afor2, oacc2
+
+                    oc, ofor, afor, oacc = jax.lax.cond(
+                        n % nstr == 0, couple,
+                        lambda a: (a[0], a[2], a[3], a[4]),
+                        (oc, at, ofor, afor, oacc))
+                elif has_oc:                 # ocean only
+                    def osub(args):
+                        oc, oacc = args
+                        oc2, _ = ostep(oc, ofor)
+                        return oc2, accumulate_ocean(oacc, oc2, ofor,
+                                                     dxo, fnot)
+                    oc, oacc = jax.lax.cond(
+                        n % nstr == 0, osub, lambda a: a, (oc, oacc))
+                elif has_at:                 # atmos only
+                    def refresh(a):
+                        _, afor2, _ = xforc(a.pam, None, self.sst_mean,
+                                            a.astm, a.hmixam)
+                        return afor2
+                    afor = jax.lax.cond(n % nstr == 0, refresh,
+                                        lambda a: afor, at)
+
+                if has_oc:
+                    oc = jax.lax.cond(
+                        n % (OCEAN_AVG_PERIOD * nstr) == 0,
+                        average_ocean_levels, lambda s: s, oc)
+                if has_at:
+                    at, _ = astep(at, afor)
+                    at = jax.lax.cond(n % ATMOS_AVG_PERIOD == 0,
+                                      average_atmos_levels,
+                                      lambda s: s, at)
+                    aacc = accumulate_atmos(aacc, at, afor)
+                return (oc, at, ofor, afor, oacc, aacc, n + 1), None
+
+            (out, _) = jax.lax.scan(body, carry, None, length=n_steps)
+            return out
+
+        self._chunk_fn = jax.jit(chunk_fn, static_argnames=("n_steps",))
+        self._xforc = xforc if has_at else None
+
+    # ------------------------------------------------------------------
+    def _initial_state(self):
+        model, p = self.model, self.p
+        cfg = model.cfg
+        tini = 0.0
+        if p.name in ("zero", "rbal"):
+            oc = init_ocean_state(model, init=p.name)
+            at = init_atmos_state(model, init=p.name)
+        else:
+            oc, at, tini = load_restart(p.name, model)
+        if cfg.atmos_only and self.sst_mean is None:
+            raise ValueError("atmos_only run needs a mean SST field "
+                             "(sst_mean= or avges.nc)")
+        return oc, at, tini
+
+    def _initial_forcing(self, oc, at):
+        cfg = self.model.cfg
+        dtype = jnp.dtype(cfg.dtype)
+        if self.has_at:
+            ofor, afor, _ = self._xforc(
+                at.pam, oc.pom if self.has_oc else None,
+                oc.sstm if self.has_oc else self.sst_mean,
+                at.astm, at.hmixam)
+            if ofor is None:
+                ofor = jax.tree_util.tree_map(
+                    jnp.zeros_like,
+                    ocean_forcing_from_mean(
+                        self.model, np.zeros((cfg.nypo, cfg.nxpo)),
+                        np.zeros((cfg.nypo, cfg.nxpo)),
+                        np.zeros((cfg.nyto, cfg.nxto))))
+        else:
+            if self.mean_forcing is None:
+                raise ValueError("ocean_only run needs mean forcing "
+                                 "(tauxo, tauyo, fnetoc)")
+            ofor = ocean_forcing_from_mean(self.model,
+                                           *self.mean_forcing)
+            afor = None
+        if afor is None:
+            # placeholder pytree so the scan carry is fixed-structure
+            z = jnp.zeros((), dtype)
+            afor = AtmosForcing(
+                tauxa=jnp.zeros((cfg.nypa, cfg.nxpa), dtype),
+                tauya=jnp.zeros((cfg.nypa, cfg.nxpa), dtype),
+                fnetat=jnp.zeros((cfg.nyta, cfg.nxta), dtype),
+                wekta=jnp.zeros((cfg.nyta, cfg.nxta), dtype),
+                wekpa=jnp.zeros((cfg.nypa, cfg.nxpa), dtype),
+                uekat=jnp.zeros((cfg.nyta, cfg.nxpa), dtype),
+                vekat=jnp.zeros((cfg.nypa, cfg.nxta), dtype),
+                txisat=z, txinat=z)
+        return ofor, afor
+
+    # ------------------------------------------------------------------
+    def run(self) -> RunResult:
+        model, p, out = self.model, self.p, self.outdir
+        cfg = model.cfg
+        dtype = jnp.dtype(cfg.dtype)
+        oc, at, tini = self._initial_state()
+        ofor, afor = self._initial_forcing(oc, at)
+        step0 = round(tini * SECSYR / cfg.dta)
+
+        write_matlab_params(f"{out}/input_parameters.m", p, cfg, model)
+
+        osnap = (OceanSnapshots(out, model, flags=p.outfloc,
+                                stride=p.nsko)
+                 if self.has_oc and self.noutoc else None)
+        asnap = (AtmosSnapshots(out, model, flags=p.outflat,
+                                stride=p.nska)
+                 if self.has_at and self.noutat else None)
+        monw = MonitorWriter(f"{out}/monit.nc", model) \
+            if self.nmonit else None
+
+        oacc = zero_ocean_averages(cfg, dtype)
+        aacc = zero_atmos_averages(cfg, dtype)
+        carry = (oc, at, ofor, afor, oacc, aacc, jnp.asarray(step0))
+        aborted = False
+        n_done = 0
+        t0 = time.time()
+        while n_done < self.nsteps:
+            n = min(self.chunk, self.nsteps - n_done)
+            carry = self._chunk_fn(carry, n, None)
+            n_done += n
+            oc, at, ofor, afor, oacc, aacc, _ = carry
+            tyrs = tini + n_done * cfg.dta / SECSYR
+
+            def due(cad):
+                return cad and n_done % cad == 0
+
+            if due(self.nvalid):
+                rep = valids(model, oc if self.has_oc else None,
+                             at if self.has_at else None, ofor, afor)
+                if not bool(rep.ok):
+                    # fail-fast with post-mortem artifacts
+                    if osnap:
+                        osnap.append(oc, ofor, tyrs)
+                    if asnap:
+                        asnap.append(at, afor, tyrs)
+                    if monw:
+                        monw.append(compute_monitor(
+                            model, oc if self.has_oc else None,
+                            at if self.has_at else None, ofor, afor),
+                            tyrs)
+                    self._log(f"VALIDITY FAILURE at step {n_done}: "
+                              f"{rep}")
+                    aborted = True
+                    break
+            if due(self.nmonit) and monw:
+                monw.append(compute_monitor(
+                    model, oc if self.has_oc else None,
+                    at if self.has_at else None, ofor, afor), tyrs)
+            if due(self.noutoc) and osnap:
+                osnap.append(oc, ofor, tyrs)
+            if due(self.noutat) and asnap:
+                asnap.append(at, afor, tyrs)
+            if due(self.ntavoc) or due(self.ntavat):
+                write_avges(f"{out}/avges.nc", model,
+                            oacc if self.has_oc else None,
+                            aacc if self.has_at else None)
+            if due(self.nrestart):
+                rep = valids(model, oc if self.has_oc else None,
+                             at if self.has_at else None, ofor, afor)
+                if bool(rep.ok):      # last-good checkpoint only
+                    save_restart(f"{out}/restart.nc", model, oc, at,
+                                 tyrs)
+            if due(self.nprint):
+                wall = time.time() - t0
+                self._log(f"step {n_done}/{self.nsteps} t={tyrs:.4f}y "
+                          f"wall={wall:.1f}s")
+
+        tyrs = tini + n_done * cfg.dta / SECSYR
+        save_restart(f"{out}/lastday.nc", model, oc, at, tyrs)
+        write_avges(f"{out}/avges.nc", model,
+                    oacc if self.has_oc else None,
+                    aacc if self.has_at else None)
+        for wtr in (osnap, asnap, monw):
+            if wtr:
+                wtr.close()
+        return RunResult(ocean=oc if self.has_oc else None,
+                         atmos=at if self.has_at else None,
+                         steps_done=n_done, tyrs=tyrs, aborted=aborted)
+
+    def _log(self, msg):
+        if self.verbose:
+            print(msg, flush=True)
+
+
+def run_case(params: RunParams, base_config, outdir: str,
+             sst_mean=None, mean_forcing=None, topoc="flat",
+             topat="flat", verbose=True) -> RunResult:
+    """One-call experiment: merge params into the dimension-carrying
+    base config, build the model and run."""
+    cfg = params_to_config(params, base_config)
+    topocname = params.topocname if params.topocname != "flat" else topoc
+    topatname = params.topatname if params.topatname != "flat" else topat
+    model = build_model(cfg, topocname=topocname, topatname=topatname)
+    if cfg.ocean_only and mean_forcing is None:
+        mean_forcing = read_mean_forcing(f"{outdir}/avges_in.nc") \
+            if os.path.exists(f"{outdir}/avges_in.nc") else None
+    drv = Driver(model, params, outdir, sst_mean=sst_mean,
+                 mean_forcing=mean_forcing, verbose=verbose)
+    return drv.run()

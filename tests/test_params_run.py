@@ -1,0 +1,118 @@
+"""input.params parser, matlab dump, and driver workflow tests."""
+
+import os
+
+import numpy as np
+import pytest
+
+from qgcm_tpu.params import (parse_input_params, params_to_config,
+                             write_matlab_params, RunParams)
+from qgcm_tpu.config import ModelConfig, k247_default
+
+REF_PARAMS = "/root/reference/src/input.params"
+
+
+@pytest.mark.skipif(not os.path.exists(REF_PARAMS),
+                    reason="reference tree not mounted")
+def test_parse_reference_input_params():
+    """Drop-in compatibility: the reference's own input.params parses
+    with the documented values (src/input.params active lines)."""
+    p = parse_input_params(REF_PARAMS)
+    assert p.trun == pytest.approx(0.054794521)
+    assert p.dta == 144.0
+    assert p.nstr == 3
+    assert p.dxo == 4.0e3
+    assert p.delek == 0.0
+    assert p.bccooc == 0.2
+    assert p.zopt == (2.0e4, 2.0e4, 3.0e4)
+    assert p.hoc == (800.0, 3.2e20)
+    assert p.gpoc == (0.01,)
+    assert p.hat == (2000.0, 3000.0, 4000.0)
+    assert p.name == "./restart.nc"
+    assert p.topocname == "flat"
+    assert p.outfloc == (1, 1, 0, 1, 0, 0, 0)
+    assert p.outflat == (1, 1, 1, 1, 1, 1, 1)
+
+
+@pytest.mark.skipif(not os.path.exists(REF_PARAMS),
+                    reason="reference tree not mounted")
+def test_params_to_config_matches_k247():
+    p = parse_input_params(REF_PARAMS)
+    base = k247_default()
+    cfg = params_to_config(p, base)
+    assert cfg.nlo == 2
+    assert cfg.ocean.dxo == 4.0e3
+    assert cfg.dto == 432.0
+    assert cfg.ocean.gpoc == (0.01,)
+
+
+def test_matlab_dump_roundtrip(tmp_path):
+    p = RunParams()
+    cfg = ModelConfig(nxta=24, nyta=12, nxaooc=8, nyaooc=8,
+                      ndxr=2).validate()
+    path = str(tmp_path / "input_parameters.m")
+    write_matlab_params(path, p, cfg)
+    text = open(path).read()
+    vals = {}
+    for line in text.strip().splitlines():
+        name, rhs = line.split("=", 1)
+        rhs = rhs.strip().rstrip(";")
+        if rhs.startswith("["):
+            vals[name.strip()] = [float(x) for x in rhs[1:-1].split()]
+        else:
+            vals[name.strip()] = float(rhs)
+    assert vals["dta"] == p.dta
+    assert vals["nxta"] == cfg.nxta
+    assert vals["hoc"] == list(p.hoc)
+    assert vals["dto"] == cfg.dto
+
+
+def test_driver_ocean_only(tmp_path):
+    """Short ocean-only driver run: completes, writes the output file
+    set, conserves the unforced eddy's layer-1 KE."""
+    from qgcm_tpu.config import ModelConfig, OceanConfig
+    from qgcm_tpu.run import run_case
+    from qgcm_tpu.generators import eddy_pressure, zero_forcing
+    from qgcm_tpu.model import build_model
+    from qgcm_tpu.models.ocean import init_ocean_state
+    from qgcm_tpu.io import save_restart
+    from qgcm_tpu.models.atmos import init_atmos_state
+
+    base = ModelConfig(nxta=24, nyta=24, nxaooc=24, nyaooc=12, ndxr=2,
+                       fnot=5.92e-5, beta=2.08e-11,
+                       ocean_only=True, cyclic_ocean=True)
+    p = RunParams(trun=1.0 / 365.0, dta=150.0, nstr=3, dxo=20.0e3,
+                  delek=0.0, valday=0.125, odiday=0.5, adiday=0.0,
+                  dgnday=0.25, prtday=0.0, resday=0.5, dtavoc=0.5,
+                  dtavat=0.0,
+                  ah2oc=(0.0, 0.0), ah4oc=(0.0, 0.0),
+                  tabsoc=(287.0, 282.0), hoc=(800.0, 3.2e20),
+                  gpoc=(0.01,), name="zero")
+    # build a restart with an eddy so the run is non-trivial
+    cfg = params_to_config(p, base)
+    model = build_model(cfg)
+    oc = init_ocean_state(model, po=eddy_pressure(cfg))
+    at = init_atmos_state(model, init="rbal")
+    rst = str(tmp_path / "restart_in.nc")
+    save_restart(rst, model, oc, at, 0.0)
+    p.name = rst
+
+    res = run_case(p, base, str(tmp_path / "out"),
+                   mean_forcing=zero_forcing(cfg), verbose=False)
+    assert not res.aborted
+    assert res.steps_done == round(p.trun * 365 * 86400 / p.dta)
+    for f in ("monit.nc", "ocpo.nc", "ocsst.nc", "avges.nc",
+              "lastday.nc", "restart.nc", "input_parameters.m"):
+        assert (tmp_path / "out" / f).exists(), f
+
+    from scipy.io import netcdf_file
+    with netcdf_file(str(tmp_path / "out" / "monit.nc"), "r",
+                     mmap=False) as f:
+        ke = f.variables["kealoc"][:]
+        assert np.isfinite(ke).all()
+        # unforced inviscid eddy: KE drift small over 1 day
+        assert abs(ke[-1, 0] - ke[0, 0]) < 0.02 * ke[0, 0]
+    with netcdf_file(str(tmp_path / "out" / "avges.nc"), "r",
+                     mmap=False) as f:
+        assert f.variables["po"].shape == (cfg.nlo, cfg.nypo, cfg.nxpo)
+        assert np.isfinite(f.variables["uptpoc"][:]).all()
