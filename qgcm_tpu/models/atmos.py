@@ -23,7 +23,8 @@ from typing import NamedTuple
 import jax.numpy as jnp
 
 from ..model import Model
-from ..ops.stencils import del2_bc, jacobian9, _wshift, _eshift
+from ..ops.stencils import (del2_bc, jacobian9, _wshift, _eshift,
+                            _row_mask)
 from ..ops.integrals import xintp
 from ..ops.vorticity import qcomp, atqzbd
 from ..state import AtmosState, AtmosForcing
@@ -75,16 +76,14 @@ def _amladf(model: Model, ast, astm, hmixa, hmixam, pa1,
     # constant along the row so the geostrophic part vanishes; the
     # reference uses the Ekman part only there (amlsubs.F:398,418).
     vgeo = rdxaf0 * (pa1[:, 1:] - pa1[:, :-1])
-    vface = vgeo + forcing.vekat
-    vface = vface.at[0, :].set(forcing.vekat[0, :])
-    vface = vface.at[-1, :].set(forcing.vekat[-1, :])
+    walls = _row_mask(forcing.vekat, 0) | _row_mask(forcing.vekat, -1)
+    vface = jnp.where(walls, forcing.vekat, vgeo + forcing.vekat)
 
     # temperature: no normal heat flux through the walls
     tyf = jnp.concatenate(
         [jnp.zeros_like(ast[:1]), ast[:-1, :] + ast[1:, :],
          jnp.zeros_like(ast[:1])], axis=0)
-    yflux_t = vface * tyf
-    yflux_t = yflux_t.at[0, :].set(0.0).at[-1, :].set(0.0)
+    yflux_t = jnp.where(walls, 0.0, vface * tyf)
     yadvt = hdxam1 * (yflux_t[1:, :] - yflux_t[:-1, :])
 
     # thickness: normal flux allowed, hmixa = hmat outside the walls
@@ -100,8 +99,10 @@ def _amladf(model: Model, ast, astm, hmixa, hmixam, pa1,
     tmrhs = -(xadvt + yadvt) + d2tfac * del2t - d4tfac * del4t
 
     # hmixa diffusion: ghost rows hold hmat (amlsubs.F:406-409)
-    hmixam_p = _pad_t_grid(hmixam, True)
-    hmixam_p = hmixam_p.at[0, :].set(hmat).at[-1, :].set(hmat)
+    hx = jnp.concatenate([hmixam[:, -1:], hmixam, hmixam[:, :1]],
+                         axis=1)
+    grow = jnp.full_like(hx[:1], hmat)
+    hmixam_p = jnp.concatenate([grow, hx, grow], axis=0)
     hmrhs = -(xadvh + yadvh) + hmdfac * _lap_padded(hmixam_p)
     return tmrhs, hmrhs
 
@@ -195,19 +196,21 @@ def _qgastep(model: Model, state: AtmosState, forcing: AtmosForcing,
 
     del2p = del2_bc(pam, zbfaca, dxam2, True)
     d4p = del2_bc(del2p, zbfaca, dxam2, True)
+    zonal = _row_mask(pa[0], 0) | _row_mask(pa[0], -1)
     d4w, d4e = _wshift(d4p), _eshift(d4p)
-    d6p = dxam2 * (d4p[:, :-2, :] + d4p[:, 2:, :] + d4w[:, 1:-1, :]
-                   + d4e[:, 1:-1, :] - 4.0 * d4p[:, 1:-1, :])
-    d6full = jnp.zeros_like(d4p).at[:, 1:-1, :].set(d6p)
+    d4pp = jnp.pad(d4p, [(0, 0), (1, 1), (0, 0)])
+    d6p = dxam2 * (d4pp[:, :-2, :] + d4pp[:, 2:, :] + d4w + d4e
+                   - 4.0 * d4p)
+    d6full = jnp.where(zonal, 0.0, d6p)
 
     jac = jacobian9(qa, pa, True)
-    qdot = adfaca * jac - (ah4[:, None, None] / cfg.fnot) * d6full
-    qdot = qdot.at[0].add(fohfac[0] * (entat - forcing.wekpa))
-    qdot = qdot.at[1].add(-fohfac[1] * entat)
+    lhot = jnp.eye(cfg.nla, dtype=pa.dtype)[:, :, None, None]
+    qdot = (adfaca * jac - (ah4[:, None, None] / cfg.fnot) * d6full
+            + lhot[0] * (fohfac[0] * (entat - forcing.wekpa))
+            - lhot[1] * (fohfac[1] * entat))
 
     qa_new = qam + tdta * qdot
-    qa_new = qa_new.at[:, 0, :].set(qa[:, 0, :])
-    qa_new = qa_new.at[:, -1, :].set(qa[:, -1, :])
+    qa_new = jnp.where(zonal, qa, qa_new)
     qam_new = qa
 
     # Boundary constraint integrals (atadif, qgasubs.F:186-218,294-318)
@@ -253,8 +256,8 @@ def _atinvq(model: Model, state: AtmosState, qa_new: jnp.ndarray,
     ddyn = jnp.asarray(model.topo.ddynat, dtype=dtype)
     betay = (cfg.beta * jnp.asarray(g.yparel, dtype=dtype))[None, :, None]
 
-    ql = qa_new - betay
-    ql = ql.at[0].add(-ddyn)
+    kb = jnp.eye(nla, dtype=dtype)[0][:, None, None]
+    ql = qa_new - betay - kb * ddyn
     wrk = cfg.fnot * jnp.einsum("mk,kyx->myx", cl2m, ql,
                                 precision="highest")
 

@@ -17,7 +17,8 @@ import jax.numpy as jnp
 
 from ..config import ModelConfig
 from ..model import Model
-from ..ops.stencils import del2_bc, jacobian9, interior_5pt, _wshift, _eshift
+from ..ops.stencils import (del2_bc, jacobian9, interior_5pt, _wshift,
+                            _eshift, _row_mask, _col_mask)
 from ..ops.integrals import xintp
 from ..ops.vorticity import qcomp, ocqbdy
 from ..state import OceanState, OceanForcing
@@ -90,7 +91,8 @@ def _omladf(model: Model, sst, sstm, po1, tauxo, tauyo):
             [jnp.zeros_like(sst[:, :1]), sst[:, :-1] + sst[:, 1:],
              jnp.zeros_like(sst[:, :1])], axis=1)
         xflux = uface * tface
-        xflux = xflux.at[:, 0].set(0.0).at[:, -1].set(0.0)
+        wecols = _col_mask(uface, 0) | _col_mask(uface, -1)
+        xflux = jnp.where(wecols, 0.0, xflux)
     hxadv = hdxom1 * (xflux[:, 1:] - xflux[:, :-1])
 
     # v at T-cell S/N faces: faces line up with p rows. (nypo, nxto)
@@ -100,16 +102,19 @@ def _omladf(model: Model, sst, sstm, po1, tauxo, tauyo):
         [jnp.zeros_like(sst[:1]), sst[:-1, :] + sst[1:, :],
          jnp.zeros_like(sst[:1])], axis=0)
     yflux = vface * tyface
+    srow, nrow = _row_mask(vface, 0), _row_mask(vface, -1)
     if cfg.sb_hflux:
         vs = -rhf0hm * (tauxo[0, 1:] + tauxo[0, :-1])
-        yflux = yflux.at[0, :].set(vs * (sst[0, :] + tsbdy))
+        yflux = jnp.where(srow, (vs * (sst[0, :] + tsbdy))[None, :],
+                          yflux)
     else:
-        yflux = yflux.at[0, :].set(0.0)
+        yflux = jnp.where(srow, 0.0, yflux)
     if cfg.nb_hflux:
         vn = -rhf0hm * (tauxo[-1, 1:] + tauxo[-1, :-1])
-        yflux = yflux.at[-1, :].set(vn * (sst[-1, :] + tnbdy))
+        yflux = jnp.where(nrow, (vn * (sst[-1, :] + tnbdy))[None, :],
+                          yflux)
     else:
-        yflux = yflux.at[-1, :].set(0.0)
+        yflux = jnp.where(nrow, 0.0, yflux)
     hyadv = hdxom1 * (yflux[1:, :] - yflux[:-1, :])
 
     rhs = -(hxadv + hyadv)
@@ -128,26 +133,15 @@ def _omladf(model: Model, sst, sstm, po1, tauxo, tauyo):
 
 def _entrain_to_p(xfo: jnp.ndarray, cyclic: bool) -> jnp.ndarray:
     """Average T-grid entrainment onto p points, conserving the area
-    integral (omlsubs.F:158-206)."""
-    nyto, nxto = xfo.shape
-    ent = jnp.zeros((nyto + 1, nxto + 1), dtype=xfo.dtype)
-    ent = ent.at[1:-1, 1:-1].set(
-        0.25 * (xfo[:-1, :-1] + xfo[:-1, 1:] + xfo[1:, :-1] + xfo[1:, 1:]))
-    ent = ent.at[0, 1:-1].set(0.5 * (xfo[0, :-1] + xfo[0, 1:]))
-    ent = ent.at[-1, 1:-1].set(0.5 * (xfo[-1, :-1] + xfo[-1, 1:]))
+    integral (omlsubs.F:158-206). Ghost padding (wraparound cyclic /
+    edge-replicate solid) makes the reference's half and quarter edge
+    and corner weights fall out of a single fused 4-point average."""
     if cyclic:
-        wcol = 0.25 * (xfo[:-1, -1] + xfo[1:, -1] + xfo[:-1, 0] + xfo[1:, 0])
-        ent = ent.at[1:-1, 0].set(wcol).at[1:-1, -1].set(wcol)
-        sw = 0.5 * (xfo[0, -1] + xfo[0, 0])
-        nw = 0.5 * (xfo[-1, -1] + xfo[-1, 0])
-        ent = ent.at[0, 0].set(sw).at[0, -1].set(sw)
-        ent = ent.at[-1, 0].set(nw).at[-1, -1].set(nw)
+        xp = jnp.concatenate([xfo[:, -1:], xfo, xfo[:, :1]], axis=1)
     else:
-        ent = ent.at[1:-1, 0].set(0.5 * (xfo[:-1, 0] + xfo[1:, 0]))
-        ent = ent.at[1:-1, -1].set(0.5 * (xfo[:-1, -1] + xfo[1:, -1]))
-        ent = ent.at[0, 0].set(xfo[0, 0]).at[0, -1].set(xfo[0, -1])
-        ent = ent.at[-1, 0].set(xfo[-1, 0]).at[-1, -1].set(xfo[-1, -1])
-    return ent
+        xp = jnp.concatenate([xfo[:, :1], xfo, xfo[:, -1:]], axis=1)
+    xp = jnp.concatenate([xp[:1], xp, xp[-1:]], axis=0)
+    return 0.25 * (xp[:-1, :-1] + xp[:-1, 1:] + xp[1:, :-1] + xp[1:, 1:])
 
 
 def _oml(model: Model, state: OceanState, forcing: OceanForcing):
@@ -218,14 +212,21 @@ def _qgostep(model: Model, state: OceanState, forcing: OceanForcing,
     # Dissipation operates on the LAGGED pressure (qgosubs.F:88-130)
     del2p = del2_bc(pom, bcfaco, dxom2, cyclic)
     d4p = del2_bc(del2p, bcfaco, dxom2, cyclic)
+    zonal = _row_mask(po[0], 0) | _row_mask(po[0], -1)
     if cyclic:
         d4w, d4e = _wshift(d4p), _eshift(d4p)
-        d6p = dxom2 * (d4p[:, :-2, :] + d4p[:, 2:, :] + d4w[:, 1:-1, :]
-                       + d4e[:, 1:-1, :] - 4.0 * d4p[:, 1:-1, :])
-        d6full = jnp.zeros_like(d4p).at[:, 1:-1, :].set(d6p)
+        d4pp = jnp.pad(d4p, [(0, 0), (1, 1), (0, 0)])
+        d6p = dxom2 * (d4pp[:, :-2, :] + d4pp[:, 2:, :] + d4w + d4e
+                       - 4.0 * d4p)
+        d6full = jnp.where(zonal, 0.0, d6p)
+        edge = zonal
     else:
-        d6full = jnp.zeros_like(d4p).at[:, 1:-1, 1:-1].set(
-            interior_5pt(d4p, dxom2))
+        d4pp = jnp.pad(d4p, [(0, 0), (1, 1), (1, 1)])
+        d6p = dxom2 * (d4pp[:, :-2, 1:-1] + d4pp[:, 2:, 1:-1]
+                       + d4pp[:, 1:-1, :-2] + d4pp[:, 1:-1, 2:]
+                       - 4.0 * d4p)
+        edge = zonal | _col_mask(po[0], 0) | _col_mask(po[0], -1)
+        d6full = jnp.where(edge, 0.0, d6p)
 
     jac = jacobian9(qo, po, cyclic)
     dqdt = (adfaco * jac
@@ -233,13 +234,17 @@ def _qgostep(model: Model, state: OceanState, forcing: OceanForcing,
             - (ah4[:, None, None] / cfg.fnot) * d6full)
     if not cyclic:
         # box: advective+diffusive tendency is zero on W/E columns
-        dqdt = dqdt.at[:, :, 0].set(0.0).at[:, :, -1].set(0.0)
+        dqdt = jnp.where(_col_mask(po[0], 0) | _col_mask(po[0], -1),
+                         0.0, dqdt)
 
-    # Layer forcing: Ekman pumping, entrainment, bottom drag
-    qdot = dqdt
-    qdot = qdot.at[0].add(fohfac[0] * (forcing.wekpo - entoc))
-    qdot = qdot.at[1].add(fohfac[1] * entoc)
-    qdot = qdot.at[-1].add(-bdrfac * del2p[-1])
+    # Layer forcing: Ekman pumping, entrainment, bottom drag --
+    # one-hot layer masks keep the whole update in one fused kernel
+    # (vs. three full-array dynamic-update-slices).
+    lhot = jnp.eye(nlo, dtype=po.dtype)[:, :, None, None]
+    qdot = (dqdt
+            + lhot[0] * (fohfac[0] * (forcing.wekpo - entoc))
+            + lhot[1] * (fohfac[1] * entoc)
+            - lhot[nlo - 1] * (bdrfac * del2p[-1][None]))
 
     # Leapfrog update of interior rows (boundaries via ocqbdy)
     qo_new = qom + tdto * qdot
@@ -248,8 +253,7 @@ def _qgostep(model: Model, state: OceanState, forcing: OceanForcing,
                  )[None, :, None]
         qo_new = qo_new + tdto * cfg.sponge.c1_spl * model.r_spl[None] \
             * (qom - betay)
-    qo_new = qo_new.at[:, 0, :].set(qo[:, 0, :])
-    qo_new = qo_new.at[:, -1, :].set(qo[:, -1, :])
+    qo_new = jnp.where(zonal, qo, qo_new)
     qom_new = qo
 
     if not cyclic:
@@ -306,8 +310,8 @@ def _ocinvq(model: Model, state: OceanState, qo_new: jnp.ndarray,
     betay = (cfg.beta * jnp.asarray(g.yporel, dtype=dtype))[None, :, None]
 
     # Modal vorticity RHS (8.13): wrk_m = f0 * sum_k cl2m[m,k] (q_k - by)
-    ql = qo_new - betay
-    ql = ql.at[-1].add(-ddyn)
+    kb = jnp.eye(nlo, dtype=dtype)[nlo - 1][:, None, None]
+    ql = qo_new - betay - kb * ddyn
     wrk = cfg.fnot * jnp.einsum("mk,kyx->myx", cl2m, ql,
                                 precision="highest")
 
@@ -390,7 +394,9 @@ def _ocinvq(model: Model, state: OceanState, qo_new: jnp.ndarray,
     rhs = dpioc_new - rhsum
     hclco = inv.cdhinv @ rhs
 
-    pm = sol.at[1:].add(hclco[:, None, None] * inv.ochom)
+    modal_cor = jnp.pad(hclco[:, None, None] * inv.ochom,
+                        [(1, 0), (0, 0), (0, 0)])
+    pm = sol + modal_cor
     po_new = jnp.einsum("km,myx->kyx", cm2l, pm, precision="highest")
     zero = jnp.zeros(nlo - 1, dtype=dtype)
     return (po_new, state.po, dpioc_new, dpiocp_new,

@@ -4,9 +4,11 @@ Array convention throughout the package: fields are [..., y, x]
 (x last = TPU lane dimension). A p-grid field has shape (..., nyp, nxp).
 In the cyclic (channel) case column x=nxp-1 duplicates column x=0.
 
-These are pure jnp ops; XLA fuses the shifted-slice arithmetic into a
-single VPU pass. A Pallas fused variant of the hot combination
-(Jacobian + del4/del6) lives in qgcm_tpu/ops/pallas_kernels.py.
+Implementation note (TPU): boundary conditions are applied with
+`jnp.where` row/column masks on full-size shifted expressions rather
+than `.at[].set` updates -- XLA fuses the mask selects into the stencil
+kernel, whereas each dynamic-update-slice materialises a full-array
+copy (measured ~25% of the ocean step before this restructuring).
 
 Reference semantics:
   del2_bc     -- src/qgosubs.F:94-127 (mixed BCs via bcfac, or cyclic-x)
@@ -31,6 +33,27 @@ def _eshift(f: jnp.ndarray) -> jnp.ndarray:
     return jnp.concatenate([f[..., 1:], f[..., 1:2]], axis=-1)
 
 
+def _row_mask(f: jnp.ndarray, j: int) -> jnp.ndarray:
+    """Boolean (ny, 1) mask selecting row j (negative ok)."""
+    ny = f.shape[-2]
+    idx = jnp.arange(ny)
+    return ((idx == (j % ny)))[:, None]
+
+
+def _col_mask(f: jnp.ndarray, i: int) -> jnp.ndarray:
+    nx = f.shape[-1]
+    idx = jnp.arange(nx)
+    return (idx == (i % nx))[None, :]
+
+
+def _pad_edge(f: jnp.ndarray) -> jnp.ndarray:
+    """One ghost ring, edge-replicated (garbage values at the ring are
+    masked away by the caller)."""
+    nd = f.ndim
+    return jnp.pad(f, [(0, 0)] * (nd - 2) + [(1, 1), (1, 1)],
+                   mode="edge")
+
+
 def interior_5pt(f: jnp.ndarray, dxm2: float) -> jnp.ndarray:
     """5-point Laplacian on the interior; returns (..., ny-2, nx-2)."""
     return dxm2 * (f[..., :-2, 1:-1] + f[..., 2:, 1:-1]
@@ -48,25 +71,28 @@ def del2_bc(p: jnp.ndarray, bcfac: float, dxm2: float,
     Box: all four walls solid. Cyclic: W/E periodic, N/S solid.
     Output has the same shape as p.
     """
-    out = jnp.zeros_like(p)
     if cyclic:
-        # rows 1..ny-2, all columns, with x-wraparound
         pw, pe = _wshift(p), _eshift(p)
-        lap = dxm2 * (p[..., :-2, :] + p[..., 2:, :]
-                      + pw[..., 1:-1, :] + pe[..., 1:-1, :]
-                      - 4.0 * p[..., 1:-1, :])
-        out = out.at[..., 1:-1, :].set(lap)
-    else:
-        lap = interior_5pt(p, dxm2)
-        out = out.at[..., 1:-1, 1:-1].set(lap)
-        # W/E mixed boundaries (rows 1..ny-2)
-        out = out.at[..., 1:-1, 0].set(
-            bcfac * (p[..., 1:-1, 1] - p[..., 1:-1, 0]))
-        out = out.at[..., 1:-1, -1].set(
-            bcfac * (p[..., 1:-1, -2] - p[..., 1:-1, -1]))
-    # N/S mixed boundaries (all columns, incl. corners)
-    out = out.at[..., 0, :].set(bcfac * (p[..., 1, :] - p[..., 0, :]))
-    out = out.at[..., -1, :].set(bcfac * (p[..., -2, :] - p[..., -1, :]))
+        pp = jnp.pad(p, [(0, 0)] * (p.ndim - 2) + [(1, 1), (0, 0)],
+                     mode="edge")
+        ps, pn = pp[..., :-2, :], pp[..., 2:, :]      # y-neighbours
+        lap = dxm2 * (ps + pn + pw + pe - 4.0 * p)
+        bcs = bcfac * (pn - p)        # valid on the south row
+        bcn = bcfac * (ps - p)        # valid on the north row
+        south = _row_mask(p, 0)
+        north = _row_mask(p, -1)
+        return jnp.where(south, bcs, jnp.where(north, bcn, lap))
+
+    pp = _pad_edge(p)
+    ps, pn = pp[..., :-2, 1:-1], pp[..., 2:, 1:-1]
+    pw, pe = pp[..., 1:-1, :-2], pp[..., 1:-1, 2:]
+    lap = dxm2 * (ps + pn + pw + pe - 4.0 * p)
+    south, north = _row_mask(p, 0), _row_mask(p, -1)
+    west, east = _col_mask(p, 0), _col_mask(p, -1)
+    out = jnp.where(west, bcfac * (pe - p),
+                    jnp.where(east, bcfac * (pw - p), lap))
+    out = jnp.where(south, bcfac * (pn - p),
+                    jnp.where(north, bcfac * (ps - p), out))
     return out
 
 
@@ -79,75 +105,39 @@ def jacobian9(q: jnp.ndarray, p: jnp.ndarray, cyclic: bool) -> jnp.ndarray:
     the W/E columns are zero; in the cyclic case they use wraparound.
     Output has the same shape as q/p.
     """
+    nd = q.ndim
     if cyclic:
-        qw, qe = _wshift(q), _eshift(q)
-        pw, pe = _wshift(p), _eshift(p)
+        def nbrs(f):
+            fp = jnp.pad(f, [(0, 0)] * (nd - 2) + [(1, 1), (0, 0)])
+            return (_eshift(f), _wshift(f), fp[..., 2:, :],
+                    fp[..., :-2, :],
+                    _eshift(fp[..., 2:, :]), _wshift(fp[..., 2:, :]),
+                    _eshift(fp[..., :-2, :]), _wshift(fp[..., :-2, :]))
+        zero_we = False
+    else:
+        def nbrs(f):
+            fp = jnp.pad(f, [(0, 0)] * (nd - 2) + [(1, 1), (1, 1)])
+            return (fp[..., 1:-1, 2:], fp[..., 1:-1, :-2],
+                    fp[..., 2:, 1:-1], fp[..., :-2, 1:-1],
+                    fp[..., 2:, 2:], fp[..., 2:, :-2],
+                    fp[..., :-2, 2:], fp[..., :-2, :-2])
+        zero_we = True
 
-        def mid(f):
-            return f[..., 1:-1, :]
-
-        def nn(f):
-            return f[..., 2:, :]
-
-        def ss(f):
-            return f[..., :-2, :]
-
-        jac = (
-            (mid(qe) - mid(qw)) * (nn(p) - ss(p))
-            + (ss(q) - nn(q)) * (mid(pe) - mid(pw))
-            + mid(qe) * (nn(pe) - ss(pe))
-            - mid(qw) * (nn(pw) - ss(pw))
-            - nn(q) * (nn(pe) - nn(pw))
-            + ss(q) * (ss(pe) - ss(pw))
-            + nn(p) * (nn(qe) - nn(qw))
-            - ss(p) * (ss(qe) - ss(qw))
-            - mid(pe) * (nn(qe) - ss(qe))
-            + mid(pw) * (nn(qw) - ss(qw))
-        )
-        out = jnp.zeros_like(q)
-        out = out.at[..., 1:-1, :].set(jac)
-        return out
-
-    # box: interior only
-    def c(f):
-        return f[..., 1:-1, 1:-1]
-
-    def e(f):
-        return f[..., 1:-1, 2:]
-
-    def w(f):
-        return f[..., 1:-1, :-2]
-
-    def n(f):
-        return f[..., 2:, 1:-1]
-
-    def s(f):
-        return f[..., :-2, 1:-1]
-
-    def ne(f):
-        return f[..., 2:, 2:]
-
-    def nw(f):
-        return f[..., 2:, :-2]
-
-    def se(f):
-        return f[..., :-2, 2:]
-
-    def sw(f):
-        return f[..., :-2, :-2]
-
+    qe, qw, qn, qs, qne, qnw, qse, qsw = nbrs(q)
+    pe, pw, pn, ps, pne, pnw, pse, psw = nbrs(p)
     jac = (
-        (e(q) - w(q)) * (n(p) - s(p))
-        + (s(q) - n(q)) * (e(p) - w(p))
-        + e(q) * (ne(p) - se(p))
-        - w(q) * (nw(p) - sw(p))
-        - n(q) * (ne(p) - nw(p))
-        + s(q) * (se(p) - sw(p))
-        + n(p) * (ne(q) - nw(q))
-        - s(p) * (se(q) - sw(q))
-        - e(p) * (ne(q) - se(q))
-        + w(p) * (nw(q) - sw(q))
+        (qe - qw) * (pn - ps)
+        + (qs - qn) * (pe - pw)
+        + qe * (pne - pse)
+        - qw * (pnw - psw)
+        - qn * (pne - pnw)
+        + qs * (pse - psw)
+        + pn * (qne - qnw)
+        - ps * (qse - qsw)
+        - pe * (qne - qse)
+        + pw * (qnw - qsw)
     )
-    out = jnp.zeros_like(q)
-    out = out.at[..., 1:-1, 1:-1].set(jac)
-    return out
+    edge = _row_mask(q, 0) | _row_mask(q, -1)
+    if zero_we:
+        edge = edge | _col_mask(q, 0) | _col_mask(q, -1)
+    return jnp.where(edge, 0.0, jac)

@@ -8,18 +8,23 @@ qcomp fills the interior (plus periodic meridional boundaries in the
 cyclic case, folding in the reference's separate `merqcy`); ocqbdy /
 atqzbd fill the solid boundaries where the tangential derivative
 vanishes and the normal derivative obeys the mixed condition.
+Boundary values are applied as fused `where` masks (see stencils.py).
 """
 
 from __future__ import annotations
 
 import jax.numpy as jnp
 
-from .stencils import _wshift, _eshift, interior_5pt
+from .stencils import _wshift, _eshift, _row_mask, _col_mask, _pad_edge
 
 
 def _apply_amat(amat: jnp.ndarray, p: jnp.ndarray) -> jnp.ndarray:
     """(A @ p) over the layer axis: amat (nl,nl), p (nl, ny, nx)."""
     return jnp.einsum("kl,lyx->kyx", amat, p, precision="highest")
+
+
+def _kbot_mask(nl: int, kbot: int, dtype) -> jnp.ndarray:
+    return (jnp.arange(nl) == (kbot % nl)).astype(dtype)[:, None, None]
 
 
 def qcomp(p: jnp.ndarray, amat: jnp.ndarray, yprel: jnp.ndarray,
@@ -30,34 +35,36 @@ def qcomp(p: jnp.ndarray, amat: jnp.ndarray, yprel: jnp.ndarray,
     (and box meridional columns) are left zero for ocqbdy/atqzbd."""
     betay = (beta * yprel)[None, :, None]
     ap = _apply_amat(amat, p)
-    q = jnp.zeros_like(p)
+    kb = _kbot_mask(p.shape[0], kbot, p.dtype)
     if cyclic:
         pw, pe = _wshift(p), _eshift(p)
-        lap = dxm2 * (p[:, :-2, :] + p[:, 2:, :]
-                      + pw[:, 1:-1, :] + pe[:, 1:-1, :]
-                      - 4.0 * p[:, 1:-1, :])
-        q = q.at[:, 1:-1, :].set(
-            lap / fnot + betay[:, 1:-1, :] - fnot * ap[:, 1:-1, :])
-        q = q.at[kbot, 1:-1, :].add(ddyn[1:-1, :])
+        pp = jnp.pad(p, [(0, 0), (1, 1), (0, 0)])
+        lap = dxm2 * (pp[:, :-2, :] + pp[:, 2:, :] + pw + pe - 4.0 * p)
+        edge = _row_mask(p[0], 0) | _row_mask(p[0], -1)
     else:
-        lap = interior_5pt(p, dxm2)
-        q = q.at[:, 1:-1, 1:-1].set(
-            lap / fnot + betay[:, 1:-1, :] - fnot * ap[:, 1:-1, 1:-1])
-        q = q.at[kbot, 1:-1, 1:-1].add(ddyn[1:-1, 1:-1])
-    return q
+        pp = jnp.pad(p, [(0, 0), (1, 1), (1, 1)])
+        lap = dxm2 * (pp[:, :-2, 1:-1] + pp[:, 2:, 1:-1]
+                      + pp[:, 1:-1, :-2] + pp[:, 1:-1, 2:] - 4.0 * p)
+        edge = (_row_mask(p[0], 0) | _row_mask(p[0], -1)
+                | _col_mask(p[0], 0) | _col_mask(p[0], -1))
+    q = lap / fnot + betay - fnot * ap + kb * ddyn
+    return jnp.where(edge, 0.0, q)
 
 
-def _mixed_bc_q(q, p, ap, bcfac_f, betay, ddyn, kbot, fnot):
-    """Fill zonal boundary rows with the mixed-BC PV relation."""
-    q = q.at[:, 0, :].set(
-        bcfac_f * (p[:, 1, :] - p[:, 0, :]) - fnot * ap[:, 0, :]
-        + betay[0])
-    q = q.at[:, -1, :].set(
-        bcfac_f * (p[:, -2, :] - p[:, -1, :]) - fnot * ap[:, -1, :]
-        + betay[-1])
-    q = q.at[kbot, 0, :].add(ddyn[0, :])
-    q = q.at[kbot, -1, :].add(ddyn[-1, :])
-    return q
+def _bc_expr(p, ap, bcfac_f, betay, ddyn, kb, fnot, cyclic):
+    """Mixed-BC PV valid on any wall: bcfac_f*(p_in - p_wall) + terms,
+    where p_in is the neighbour towards the interior."""
+    pp = _pad_edge(p)
+    ps, pn = pp[:, :-2, 1:-1], pp[:, 2:, 1:-1]
+    base = -fnot * ap + betay + kb * ddyn
+    south = bcfac_f * (pn - p) + base
+    north = bcfac_f * (ps - p) + base
+    if not cyclic:
+        pw, pe = pp[:, 1:-1, :-2], pp[:, 1:-1, 2:]
+        west = bcfac_f * (pe - p) + base
+        east = bcfac_f * (pw - p) + base
+        return south, north, west, east
+    return south, north, None, None
 
 
 def ocqbdy(q: jnp.ndarray, p: jnp.ndarray, amat: jnp.ndarray,
@@ -67,20 +74,18 @@ def ocqbdy(q: jnp.ndarray, p: jnp.ndarray, amat: jnp.ndarray,
     lives in the BOTTOM layer (kbot = nlo-1). Fills zonal boundaries,
     and meridional boundaries too in the box case."""
     bcfac_f = bcco * dxm2 / (0.5 * bcco + 1.0) / fnot
-    betay = beta * yprel
+    betay = (beta * yprel)[None, :, None]
     ap = _apply_amat(amat, p)
-    q = _mixed_bc_q(q, p, ap, bcfac_f, betay, ddyn, -1, fnot)
+    kb = _kbot_mask(p.shape[0], -1, p.dtype)
+    south, north, west, east = _bc_expr(p, ap, bcfac_f, betay, ddyn,
+                                        kb, fnot, cyclic)
+    out = q
     if not cyclic:
-        # meridional boundaries, rows 1..ny-2 (corners already done)
-        bw = (bcfac_f * (p[:, 1:-1, 1] - p[:, 1:-1, 0])
-              - fnot * ap[:, 1:-1, 0] + betay[None, 1:-1])
-        be = (bcfac_f * (p[:, 1:-1, -2] - p[:, 1:-1, -1])
-              - fnot * ap[:, 1:-1, -1] + betay[None, 1:-1])
-        q = q.at[:, 1:-1, 0].set(bw)
-        q = q.at[:, 1:-1, -1].set(be)
-        q = q.at[-1, 1:-1, 0].add(ddyn[1:-1, 0])
-        q = q.at[-1, 1:-1, -1].add(ddyn[1:-1, -1])
-    return q
+        out = jnp.where(_col_mask(p[0], 0), west, out)
+        out = jnp.where(_col_mask(p[0], -1), east, out)
+    out = jnp.where(_row_mask(p[0], 0), south, out)
+    out = jnp.where(_row_mask(p[0], -1), north, out)
+    return out
 
 
 def atqzbd(q: jnp.ndarray, p: jnp.ndarray, amat: jnp.ndarray,
@@ -94,9 +99,14 @@ def atqzbd(q: jnp.ndarray, p: jnp.ndarray, amat: jnp.ndarray,
     (uses pa(i,2,nla) where every analogous line uses the boundary row);
     we implement the consistent formula."""
     bcfac_f = bcco * dxm2 / (0.5 * bcco + 1.0) / fnot
-    betay = beta * yprel
+    betay = (beta * yprel)[None, :, None]
     ap = _apply_amat(amat, p)
-    return _mixed_bc_q(q, p, ap, bcfac_f, betay, ddyn, 0, fnot)
+    kb = _kbot_mask(p.shape[0], 0, p.dtype)
+    south, north, _, _ = _bc_expr(p, ap, bcfac_f, betay, ddyn,
+                                  kb, fnot, True)
+    out = jnp.where(_row_mask(p[0], 0), south, q)
+    out = jnp.where(_row_mask(p[0], -1), north, out)
+    return out
 
 
 def merqcy(q: jnp.ndarray, p: jnp.ndarray, amat: jnp.ndarray,

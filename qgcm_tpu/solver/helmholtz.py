@@ -48,10 +48,8 @@ def dst1(x: jnp.ndarray, axis: int = -1) -> jnp.ndarray:
     """
     x = jnp.moveaxis(x, axis, -1)
     n = x.shape[-1]
-    shape = x.shape[:-1]
-    z = jnp.zeros(shape + (2 * (n + 1),), dtype=x.dtype)
-    z = z.at[..., 1 : n + 1].set(x)
-    z = z.at[..., n + 2 :].set(-x[..., ::-1])
+    zero = jnp.zeros(x.shape[:-1] + (1,), dtype=x.dtype)
+    z = jnp.concatenate([zero, x, zero, -x[..., ::-1]], axis=-1)
     X = -jnp.fft.rfft(z, axis=-1).imag[..., 1 : n + 1].astype(x.dtype)
     return jnp.moveaxis(X, -1, axis)
 

@@ -79,7 +79,7 @@ def test_atmos_dpiat_consistent(setup):
     dpi = xintp(at.pa[:-1] - at.pa[1:], model.wap) * g.dxa * g.dya
     scale = float(jnp.abs(dpi).max()) + 1.0
     assert np.allclose(np.asarray(dpi), np.asarray(at.dpiat),
-                       atol=1e-9 * scale)
+                       atol=1e-8 * scale)
 
 
 def test_atmos_cyclicity(setup):
