@@ -85,7 +85,8 @@ def cmd_run(args):
         sst_mean = read_mean_sst(avpath)
 
     res = run_case(params, cfg, outdir, sst_mean=sst_mean,
-                   mean_forcing=mean_forcing, verbose=not args.quiet)
+                   mean_forcing=mean_forcing, verbose=not args.quiet,
+                   qoc_diag=args.qoc_diag, ocavg_days=args.ocavg_days)
     print(f"done: {res.steps_done} steps, t={res.tyrs:.4f} years"
           + (" [ABORTED ON VALIDITY FAILURE]" if res.aborted else ""))
     return 1 if res.aborted else 0
@@ -193,6 +194,11 @@ def main(argv=None):
     pr.add_argument("--trun", type=float,
                     help="override run length (years)")
     pr.add_argument("--quiet", action="store_true")
+    pr.add_argument("--qoc-diag", action="store_true", dest="qoc_diag",
+                    help="write the dq/dt decomposition (qocdiag.nc)")
+    pr.add_argument("--ocavg-days", type=float, default=0.0,
+                    dest="ocavg_days",
+                    help="k247 ocean-average stream interval (days)")
     add_grid(pr)
     pr.set_defaults(fn=cmd_run)
 

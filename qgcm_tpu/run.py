@@ -41,6 +41,10 @@ from .diags import valids, compute_monitor, MonitorWriter
 from .diags.timavge import (zero_ocean_averages, zero_atmos_averages,
                             accumulate_ocean, accumulate_atmos,
                             write_avges)
+from .diags.covaria import (zero_cov, cov_size, accumulate_cov,
+                            write_covar)
+from .diags.areas import build_area_boxes, area_averages, AreasWriter
+from .diags.qocdiag import qocdiag_terms, QocdiagWriter
 from .io import (save_restart, load_restart, OceanSnapshots,
                  AtmosSnapshots, read_mean_forcing, read_mean_sst)
 
@@ -64,7 +68,10 @@ class RunResult:
 
 class Driver:
     def __init__(self, model: Model, params: RunParams, outdir: str,
-                 sst_mean=None, mean_forcing=None, verbose: bool = True):
+                 sst_mean=None, mean_forcing=None, verbose: bool = True,
+                 areas_limits: str = None, qoc_diag: bool = False,
+                 ocavg_days: float = 0.0, nscvoc: int = 4,
+                 nscvat: int = 2):
         cfg = model.cfg
         self.model = model
         self.p = params
@@ -92,11 +99,18 @@ class Driver:
         self.nrestart = steps(p.resday)
         self.ntavoc = steps(p.dtavoc, nstr)
         self.ntavat = steps(p.dtavat)
+        self.ncovoc = steps(p.dtcovoc, nstr)
+        self.ncovat = steps(p.dtcovat)
+        self.nocavg = steps(ocavg_days, nstr)
         self.chunk = _gcd_all([
             self.nvalid, self.noutoc, self.noutat, self.nmonit,
-            self.nprint, self.nrestart, self.ntavoc, self.ntavat]) \
+            self.nprint, self.nrestart, self.ntavoc, self.ntavat,
+            self.ncovoc, self.ncovat, self.nocavg]) \
             or max(1, self.nvalid)
         self.chunk = max(self.chunk, nstr)
+        self.areas_limits = areas_limits
+        self.qoc_diag = qoc_diag
+        self.nscvoc, self.nscvat = nscvoc, nscvat
 
         # static surface fields for single-fluid modes
         self.sst_mean = (jnp.asarray(sst_mean, jnp.dtype(cfg.dtype))
@@ -240,6 +254,28 @@ class Driver:
                  if self.has_at and self.noutat else None)
         monw = MonitorWriter(f"{out}/monit.nc", model) \
             if self.nmonit else None
+        boxes = areasw = None
+        if self.areas_limits and self.nmonit:
+            boxes = build_area_boxes(model, self.areas_limits)
+            areasw = AreasWriter(f"{out}/areas.nc", boxes)
+        qocw = (QocdiagWriter(f"{out}/qocdiag.nc", model, stride=p.nsko)
+                if self.qoc_diag and self.has_oc and self.noutoc
+                else None)
+        covs = {}
+        if self.ncovoc and self.has_oc:
+            covs["po"] = zero_cov(cov_size(cfg.nypo, cfg.nxpo,
+                                           self.nscvoc))
+            covs["to"] = zero_cov(cov_size(cfg.nyto, cfg.nxto,
+                                           self.nscvoc))
+        if self.ncovat and self.has_at:
+            covs["pa"] = zero_cov(cov_size(cfg.nypa, cfg.nxpa,
+                                           self.nscvat))
+            covs["ta"] = zero_cov(cov_size(cfg.nyta, cfg.nxta,
+                                           self.nscvat))
+        if self.nocavg:
+            os.makedirs(f"{out}/avg", exist_ok=True)
+        n_ocavg = 0
+        oacc_mark = None
 
         oacc = zero_ocean_averages(cfg, dtype)
         aacc = zero_atmos_averages(cfg, dtype)
@@ -287,6 +323,44 @@ class Driver:
                 write_avges(f"{out}/avges.nc", model,
                             oacc if self.has_oc else None,
                             aacc if self.has_at else None)
+            if due(self.ncovoc):
+                covs["po"] = accumulate_cov(covs["po"], oc.po[0],
+                                            self.nscvoc)
+                covs["to"] = accumulate_cov(covs["to"], oc.sst,
+                                            self.nscvoc)
+            if due(self.ncovat):
+                covs["pa"] = accumulate_cov(covs["pa"], at.pa[0],
+                                            self.nscvat)
+                covs["ta"] = accumulate_cov(covs["ta"], at.ast,
+                                            self.nscvat)
+            if areasw and due(self.nmonit):
+                tavoc, tavat = area_averages(
+                    boxes, oc.sst if self.has_oc else None,
+                    at.ast if self.has_at else None)
+                areasw.append(tyrs, tavoc, tavat)
+            if qocw and due(self.noutoc):
+                from .models.ocean import _oml
+                entoc = (_oml(model, oc, ofor)[2] if not cfg.no_oml
+                         else jnp.zeros_like(oc.po[0]))
+                qocw.append(qocdiag_terms(model, oc, ofor, entoc),
+                            tyrs)
+            if due(self.nocavg):
+                # k247 daily-mean po stream: window means by
+                # differencing the cumulative accumulator
+                from .io.ncdf import NcWriter
+                if oacc_mark is None:
+                    pod = oacc.po / max(float(oacc.n), 1.0)
+                else:
+                    dn = max(float(oacc.n - oacc_mark.n), 1.0)
+                    pod = (oacc.po - oacc_mark.po) / dn
+                oacc_mark = oacc
+                wnc = NcWriter(f"{out}/avg/ocavg_{n_ocavg:04d}.nc")
+                wnc.dim("zo", cfg.nlo)
+                wnc.dim("ypo", cfg.nypo); wnc.dim("xpo", cfg.nxpo)
+                wnc.var("po", "f", ("zo", "ypo", "xpo"),
+                        units="m^2/s^2", data=np.asarray(pod))
+                wnc.close()
+                n_ocavg += 1
             if due(self.nrestart):
                 rep = valids(model, oc if self.has_oc else None,
                              at if self.has_at else None, ofor, afor)
@@ -303,7 +377,9 @@ class Driver:
         write_avges(f"{out}/avges.nc", model,
                     oacc if self.has_oc else None,
                     aacc if self.has_at else None)
-        for wtr in (osnap, asnap, monw):
+        if covs:
+            write_covar(f"{out}/covar.nc", covs)
+        for wtr in (osnap, asnap, monw, areasw, qocw):
             if wtr:
                 wtr.close()
         return RunResult(ocean=oc if self.has_oc else None,
@@ -317,7 +393,7 @@ class Driver:
 
 def run_case(params: RunParams, base_config, outdir: str,
              sst_mean=None, mean_forcing=None, topoc="flat",
-             topat="flat", verbose=True) -> RunResult:
+             topat="flat", verbose=True, **driver_kwargs) -> RunResult:
     """One-call experiment: merge params into the dimension-carrying
     base config, build the model and run."""
     cfg = params_to_config(params, base_config)
@@ -327,6 +403,10 @@ def run_case(params: RunParams, base_config, outdir: str,
     if cfg.ocean_only and mean_forcing is None:
         mean_forcing = read_mean_forcing(f"{outdir}/avges_in.nc") \
             if os.path.exists(f"{outdir}/avges_in.nc") else None
+    case_dir = os.path.dirname(os.path.abspath(outdir))
+    limits = os.path.join(case_dir, "areas.limits")
     drv = Driver(model, params, outdir, sst_mean=sst_mean,
-                 mean_forcing=mean_forcing, verbose=verbose)
+                 mean_forcing=mean_forcing, verbose=verbose,
+                 areas_limits=limits if os.path.exists(limits) else None,
+                 **driver_kwargs)
     return drv.run()

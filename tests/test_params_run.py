@@ -116,3 +116,64 @@ def test_driver_ocean_only(tmp_path):
                      mmap=False) as f:
         assert f.variables["po"].shape == (cfg.nlo, cfg.nypo, cfg.nxpo)
         assert np.isfinite(f.variables["uptpoc"][:]).all()
+
+
+def test_driver_full_diagnostics(tmp_path):
+    """Coupled driver run with covariance, area boxes, qocdiag and the
+    k247 ocean-average stream all enabled."""
+    from qgcm_tpu.config import double_gyre_coupled, OceanConfig
+    from qgcm_tpu.run import Driver
+    from qgcm_tpu.model import build_model
+    from qgcm_tpu.models.ocean import init_ocean_state
+    from qgcm_tpu.models.atmos import init_atmos_state
+    from qgcm_tpu.params import params_to_config
+    from scipy.io import netcdf_file
+
+    base = double_gyre_coupled(nxta=24, nyta=12, nxaooc=8, nyaooc=8,
+                               ndxr=4, ocean=OceanConfig(dxo=20.0e3))
+    p = RunParams(trun=0.5 / 365.0, dta=180.0, nstr=3, dxo=20.0e3,
+                  valday=0.125, odiday=0.25, adiday=0.25, dgnday=0.125,
+                  prtday=0.0, resday=0.0, dtavoc=0.25, dtavat=0.25,
+                  dtcovoc=0.125, dtcovat=0.125, name="rbal")
+    cfg = params_to_config(p, base)
+    model = build_model(cfg)
+    oc = init_ocean_state(model, init="rbal")
+    at = init_atmos_state(model, init="rbal")
+
+    limits = tmp_path / "areas.limits"
+    limits.write_text(
+        "   2                 !!nareoc\n"
+        "   0.0d3  100.0d3    !!xlooc\n"
+        " 300.0d3  260.0d3    !!xhioc\n"
+        "   0.0d3   50.0d3    !!ylooc\n"
+        " 300.0d3  250.0d3    !!yhioc\n"
+        "   oc1      oc2      !!areaoc\n"
+        "   1                 !!nareat\n"
+        "   0.0d3             !!xloat\n"
+        " 1000.0d3            !!xhiat\n"
+        "   0.0d3             !!yloat\n"
+        "  900.0d3            !!yhiat\n"
+        "   at1               !!areaat\n")
+
+    out = str(tmp_path / "out")
+    drv = Driver(model, p, out, areas_limits=str(limits),
+                 qoc_diag=True, ocavg_days=0.25, verbose=False)
+    res = drv.run()
+    assert not res.aborted
+
+    with netcdf_file(out + "/areas.nc", "r", mmap=False) as f:
+        assert f.variables["tavoc"].shape[1] == 2
+        assert np.isfinite(f.variables["tavoc"][:]).all()
+    with netcdf_file(out + "/covar.nc", "r", mmap=False) as f:
+        cov = f.variables["covto"][:]
+        assert cov.shape[0] == cov.shape[1]
+        # diagonal of a covariance matrix is non-negative
+        assert (np.diag(cov) >= -1e-6).all()
+    with netcdf_file(out + "/qocdiag.nc", "r", mmap=False) as f:
+        dq = f.variables["dqdt"][:]
+        pieces = sum(f.variables[n][:] for n in
+                     ("qotjac", "qt2dif", "qt4dif", "qotent"))
+        assert np.allclose(dq, pieces, atol=1e-6 * np.abs(dq).max())
+    import os as _os
+    avg = sorted(_os.listdir(out + "/avg"))
+    assert len(avg) >= 2
