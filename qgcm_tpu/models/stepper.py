@@ -56,19 +56,27 @@ def average_atmos_levels(st: AtmosState) -> AtmosState:
     )
 
 
-def make_ocean_only_runner(model: Model, jit: bool = True):
+def make_ocean_only_runner(model: Model, jit: bool = True, mesh=None):
     """Returns run(state, forcing, n_steps, step0=0) -> (state, diags).
 
     `step0` is the 0-based index of the first ocean substep taken by
     this call, so chunked host loops keep the averaging cadence
     aligned (averaging fires after substeps with index % 25 == 0).
+
+    With `mesh`, fields carry 2-D spatial shardings through the scan
+    (GSPMD inserts the halo exchanges and spectral-solve transposes
+    over the mesh; see parallel/mesh.py).
     """
     step = make_ocean_step(model)
+    if mesh is not None:
+        from ..parallel.mesh import constrain_tree
 
     def run(state: OceanState, forcing: OceanForcing, n_steps: int,
             step0=0):
         def body(carry, _):
             st, n = carry
+            if mesh is not None:
+                st = constrain_tree(st, mesh)
             st, _diags = step(st, forcing)
             st = jax.lax.cond(n % OCEAN_AVG_PERIOD == 0,
                               average_ocean_levels, lambda s: s, st)
@@ -121,7 +129,7 @@ def make_atmos_only_runner(model: Model, jit: bool = True):
     return run
 
 
-def make_coupled_runner(model: Model, jit: bool = True):
+def make_coupled_runner(model: Model, jit: bool = True, mesh=None):
     """Fully coupled ocean-atmosphere stepping (main loop
     q-gcm.F:1220-1491): every atmospheric step runs the atmosphere;
     every nstr-th step first recomputes the forcing (xforc) and takes
@@ -136,6 +144,8 @@ def make_coupled_runner(model: Model, jit: bool = True):
     ostep = make_ocean_step(model)
     astep = make_atmos_step(model)
     nstr = model.cfg.nstr
+    if mesh is not None:
+        from ..parallel.mesh import constrain_tree
 
     def couple(carry):
         oc, at, ofor, afor = carry
@@ -147,6 +157,9 @@ def make_coupled_runner(model: Model, jit: bool = True):
     def run(ocean: OceanState, atmos: AtmosState, n_steps: int, step0=0):
         def body(carry, _):
             oc, at, ofor, afor, n = carry
+            if mesh is not None:
+                oc = constrain_tree(oc, mesh)
+                at = constrain_tree(at, mesh)
             oc, ofor, afor = jax.lax.cond(
                 n % nstr == 0, couple,
                 lambda c: (c[0], c[2], c[3]), (oc, at, ofor, afor))
