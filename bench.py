@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 
 BASELINE_UPDATES_PER_S = 1.0e7
-STEPS_PER_CHUNK = 50
+STEPS_PER_CHUNK = 250
 REPS = 3
 
 

@@ -131,6 +131,7 @@ class ModelConfig:
 
     # --- numerics ---
     dtype: str = "float64"        # dtype of stepped fields
+    use_pallas: bool = False      # fused TPU kernels for the QG step
 
     # ------------------------------------------------------------------
     # Derived grid quantities (reference src/parameters_data.F:77-99)

@@ -209,6 +209,9 @@ def _qgostep(model: Model, state: OceanState, forcing: OceanForcing,
 
     po, pom, qo, qom = state.po, state.pom, state.qo, state.qom
 
+    if cfg.use_pallas:
+        return _qgostep_pallas(model, state, forcing, entoc)
+
     # Dissipation operates on the LAGGED pressure (qgosubs.F:88-130)
     del2p = del2_bc(pom, bcfaco, dxom2, cyclic)
     d4p = del2_bc(del2p, bcfaco, dxom2, cyclic)
@@ -285,6 +288,102 @@ def _qgostep(model: Model, state: OceanState, forcing: OceanForcing,
 
     cyc = dict(ajis=ajis, ajin=ajin, ap3s=ap3s, ap3n=ap3n,
                ap5s=ap5s, ap5n=ap5n, bdrins=bdrins, bdrinn=bdrinn)
+    return qo_new, qom_new, cyc
+
+
+def _cyclic_boundary_terms(model, state, forcing, del2p_s, del2p_n,
+                           d4p_s, d4p_n):
+    """Momentum-constraint boundary integrals from 2-row wall slices of
+    del2p / del4p plus the state rows (qgosubs.F:150-163, 279-297,
+    404-443). Shapes: *_s/*_n are (nlo, 2, nxpo), row 0 nearest wall."""
+    cfg = model.cfg
+    g = model.grids
+    po, pom, qo = state.po, state.pom, state.qo
+    adfaco = 1.0 / (12.0 * g.dxo * g.dyo * cfg.fnot)
+    ah2 = jnp.asarray(cfg.ocean.ah2oc, dtype=po.dtype)
+    ah4 = jnp.asarray(cfg.ocean.ah4oc, dtype=po.dtype)
+
+    pe, pw = _eshift(po), _wshift(po)
+    pdx_s = (pe - pw)[:, 1, :]
+    pdx_n = (pe - pw)[:, -2, :]
+    wend = jnp.ones(po.shape[-1], dtype=po.dtype).at[0].set(0.5) \
+        .at[-1].set(0.5)
+    aj5s = jnp.sum(wend * qo[:, 0, :] * pdx_s, axis=-1)
+    aj9s = jnp.sum(wend * qo[:, 1, :] * pdx_s, axis=-1)
+    aj5n = -jnp.sum(wend * qo[:, -1, :] * pdx_n, axis=-1)
+    aj9n = -jnp.sum(wend * qo[:, -2, :] * pdx_n, axis=-1)
+    ajis = cfg.fnot * adfaco * (aj5s + 2.0 * aj9s) * g.dxo * g.dyo
+    ajin = cfg.fnot * adfaco * (aj5n + 2.0 * aj9n) * g.dxo * g.dyo
+
+    ap3s = ah2 * jnp.sum(del2p_s[:, 1, :-1] - del2p_s[:, 0, :-1], axis=-1)
+    ap3n = ah2 * jnp.sum(del2p_n[:, 1, :-1] - del2p_n[:, 0, :-1], axis=-1)
+    ap5s = ah4 * jnp.sum(d4p_s[:, 1, :-1] - d4p_s[:, 0, :-1], axis=-1)
+    ap5n = ah4 * jnp.sum(d4p_n[:, 1, :-1] - d4p_n[:, 0, :-1], axis=-1)
+
+    bdsums = jnp.sum(pom[-1, 1, :-1] - pom[-1, 0, :-1])
+    bdsumn = jnp.sum(pom[-1, -1, :-1] - pom[-1, -2, :-1])
+    half_ek = 0.5 * (1.0 if cfg.fnot > 0 else -1.0) * cfg.ocean.delek
+    return dict(ajis=ajis, ajin=ajin, ap3s=ap3s, ap3n=ap3n,
+                ap5s=ap5s, ap5n=ap5n, bdrins=half_ek * bdsums,
+                bdrinn=half_ek * bdsumn)
+
+
+def _edge_d2d4(pom, bcfac, dxm2):
+    """Thin-slice recomputation of the 2 wall-adjacent rows of del2p
+    and del4p (cyclic case) for the constraint integrals, avoiding a
+    second full-field dissipation pass when the fused kernel is used.
+    Returns (d2_s, d2_n, d4_s, d4_n), each (nl, 2, nxpo) with row
+    order [wall, wall+1] (south) / [wall-1, wall] reversed so index 0
+    is nearest the wall... south rows are [0, 1]; north rows [-2, -1]
+    mapped to ([wall, inner]) consistently with the caller."""
+
+    def lap_row(r3):
+        w, e = _wshift(r3[:, 1]), _eshift(r3[:, 1])
+        return dxm2 * (r3[:, 0] + r3[:, 2] + w + e - 4.0 * r3[:, 1])
+
+    d2s = del2_bc(pom[:, :5], bcfac, dxm2, True)[:, :3]
+    d2n = del2_bc(pom[:, -5:], bcfac, dxm2, True)[:, -3:]
+    d4s0 = bcfac * (d2s[:, 1] - d2s[:, 0])
+    d4s1 = lap_row(d2s[:, 0:3])
+    d4n1 = lap_row(d2n[:, -3:])
+    d4n0 = bcfac * (d2n[:, -2] - d2n[:, -1])
+    d4_s = jnp.stack([d4s0, d4s1], axis=1)
+    d4_n = jnp.stack([d4n1, d4n0], axis=1)
+    return d2s[:, :2], d2n[:, -2:], d4_s, d4_n
+
+
+def _qgostep_pallas(model, state, forcing, entoc):
+    """Fused-kernel variant of _qgostep (ops/pallas_qg.py)."""
+    from ..ops.pallas_qg import qgstep_pallas
+    cfg = model.cfg
+    g = model.grids
+    cyclic = cfg.cyclic_ocean
+    nlo = cfg.nlo
+    dxom2 = 1.0 / g.dxo**2
+    adfaco = 1.0 / (12.0 * g.dxo * g.dyo * cfg.fnot)
+    bcfaco = cfg.ocean.bccooc * dxom2 / (0.5 * cfg.ocean.bccooc + 1.0)
+    bdrfac = (0.5 * (1.0 if cfg.fnot > 0 else -1.0)
+              * cfg.ocean.delek / cfg.ocean.hoc[-1])
+    tdto = 2.0 * cfg.dto
+    sponge = cfg.sponge.enabled
+    consts = (dxom2, bcfaco, adfaco, 1.0 / cfg.fnot, tdto, bdrfac,
+              cfg.sponge.c1_spl, cfg.beta * float(g.yporel[0]),
+              cfg.beta * g.dyo,
+              cfg.fnot / cfg.ocean.hoc[0], cfg.fnot / cfg.ocean.hoc[1])
+    rspl = (model.r_spl if sponge
+            else jnp.zeros_like(forcing.wekpo))
+    import jax
+    interp = jax.default_backend() == "cpu"
+    qo_new = qgstep_pallas(
+        state.pom, state.po, state.qo, state.qom, forcing.wekpo, entoc,
+        rspl, consts, cfg.ocean.ah2oc, cfg.ocean.ah4oc,
+        cyclic=cyclic, sponge=sponge, interpret=interp)
+    qom_new = state.qo
+    if not cyclic:
+        return qo_new, qom_new, None
+    d2s, d2n, d4s, d4n = _edge_d2d4(state.pom, bcfaco, dxom2)
+    cyc = _cyclic_boundary_terms(model, state, forcing, d2s, d2n,
+                                 d4s, d4n)
     return qo_new, qom_new, cyc
 
 

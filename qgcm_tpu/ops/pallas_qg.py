@@ -1,0 +1,228 @@
+"""Fused Pallas TPU kernel for the QG vorticity leapfrog step.
+
+Replaces the XLA-fusion chain of models/ocean._qgostep /
+models/atmos._qgastep (del2 -> del4 -> del6 of the lagged pressure,
+Arakawa 9-point Jacobian, layer forcing, leapfrog update; reference
+src/qgosubs.F:45-229, ocadif :231-454) with ONE kernel pass per
+(layer, y-tile): halo-extended tiles are staged into VMEM, the whole
+stencil chain runs on-chip, and only the new vorticity tile goes back
+to HBM. The jnp path materialises ~6 intermediate fields in HBM.
+
+Halo handling: BlockSpec blocks cannot overlap, so each input is
+re-laid-out host-side into (..., ntile, TILE+2h, nx) halo windows
+(`_tiles`) -- one extra streaming copy, ~3% of the kernel's traffic.
+Boundary conditions are applied in-kernel by masking on global row /
+column indices, exactly mirroring ops/stencils.del2_bc. Ghost values
+outside the domain are zeros (box) or x-wraparound (cyclic, west of
+column 0 = column nxp-2 per the duplicated-east-column convention);
+every output affected by a ghost is overwritten by a mask.
+
+The cyclic momentum-constraint integrals need del2p/del4p only on the
+2 rows nearest each wall; the caller recomputes those thin slices with
+the jnp operator.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+HALO = 3          # del6 = three nested 5-point applications
+TILE_Y = 128
+
+
+def _tiles(f, h, cyclic, nty):
+    """(..., ny, nx) -> (..., nty, TILE_Y + 2h, nx + 2h) overlapping
+    halo windows. x ghosts: wraparound (cyclic p-array convention) or
+    zeros (box); y ghosts zero (masked in-kernel)."""
+    if h > 0:
+        if cyclic:
+            f = jnp.concatenate([f[..., -1 - h:-1, ], f, f[..., 1:1 + h]],
+                                axis=-1)
+        else:
+            zx = jnp.zeros(f.shape[:-1] + (h,), f.dtype)
+            f = jnp.concatenate([zx, f, zx], axis=-1)
+    ny = f.shape[-2]
+    pad_y = nty * TILE_Y + 2 * h - ny
+    nd = f.ndim
+    f = jnp.pad(f, [(0, 0)] * (nd - 2) + [(h, pad_y - h), (0, 0)])
+    wins = [f[..., t * TILE_Y:t * TILE_Y + TILE_Y + 2 * h, :]
+            for t in range(nty)]
+    return jnp.stack(wins, axis=-3)
+
+
+def _make_kernel(ny, nx, nl, cyclic, sponge, consts, ah2, ah4):
+    (dxm2, bcfac, adfac, rfnot, tdt, bdrfac, c1spl, beta_y0, beta_dy,
+     fohfac0, fohfac1) = consts
+
+    def kernel(pom_ref, po_ref, qo_ref, qom_ref, wek_ref, ent_ref,
+               rspl_ref, out_ref):
+        k = pl.program_id(0)
+        t = pl.program_id(1)
+        base = t * TILE_Y
+
+        def rows(g0, n):
+            return (jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)
+                    + (base + g0))
+
+        def colmask(n, h):
+            gc = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1) - h
+            return gc == 0, gc == nx - 1
+
+        def lap_bc(f, h):
+            """Mixed-BC Laplacian: f has h ghost rings, output h-1."""
+            c = f[1:-1, 1:-1]
+            s, n = f[:-2, 1:-1], f[2:, 1:-1]
+            w, e = f[1:-1, :-2], f[1:-1, 2:]
+            lap = dxm2 * (s + n + w + e - 4.0 * c)
+            gr = rows(1 - h, c.shape[0])
+            south = gr == 0
+            north = gr == ny - 1
+            out = jnp.where(south, bcfac * (n - c),
+                            jnp.where(north, bcfac * (s - c), lap))
+            if not cyclic:
+                west, east = colmask(c.shape[1], h - 1)
+                zonal = south | north
+                out = jnp.where(west & ~zonal, bcfac * (e - c), out)
+                out = jnp.where(east & ~zonal, bcfac * (w - c), out)
+            return out
+
+        pom = pom_ref[0, 0]
+        d2 = lap_bc(pom, HALO)
+        d4 = lap_bc(d2, HALO - 1)
+
+        c = d4[1:-1, 1:-1]
+        d6 = dxm2 * (d4[:-2, 1:-1] + d4[2:, 1:-1] + d4[1:-1, :-2]
+                     + d4[1:-1, 2:] - 4.0 * c)
+        gr0 = rows(0, TILE_Y)
+        zonal = (gr0 == 0) | (gr0 == ny - 1)
+        edge = zonal
+        if not cyclic:
+            west0, east0 = colmask(nx, 0)
+            edge = edge | west0 | east0
+        d6 = jnp.where(edge, 0.0, d6)
+        d4c = d4[1:-1, 1:-1]
+        d2c = d2[2:-2, 2:-2]
+
+        q = qo_ref[0, 0]
+        p = po_ref[0, 0]
+
+        def nb(f):
+            return (f[1:-1, 2:], f[1:-1, :-2], f[2:, 1:-1],
+                    f[:-2, 1:-1], f[2:, 2:], f[2:, :-2], f[:-2, 2:],
+                    f[:-2, :-2])
+
+        qe, qw, qn, qs, qne, qnw, qse, qsw = nb(q)
+        pe, pw, pn, ps, pne, pnw, pse, psw = nb(p)
+        qc = q[1:-1, 1:-1]
+        jac = ((qe - qw) * (pn - ps) + (qs - qn) * (pe - pw)
+               + qe * (pne - pse) - qw * (pnw - psw)
+               - qn * (pne - pnw) + qs * (pse - psw)
+               + pn * (qne - qnw) - ps * (qse - qsw)
+               - pe * (qne - qse) + pw * (qnw - qsw))
+        jac = jnp.where(edge, 0.0, jac)
+
+        fdt = pom.dtype
+        ah2k = jnp.zeros((), fdt)
+        ah4k = jnp.zeros((), fdt)
+        for i in range(nl):
+            sel = (k == i).astype(fdt)
+            ah2k = ah2k + sel * ah2[i]
+            ah4k = ah4k + sel * ah4[i]
+
+        dqdt = adfac * jac + (ah2k * rfnot) * d4c - (ah4k * rfnot) * d6
+        if not cyclic:
+            dqdt = jnp.where(west0 | east0, 0.0, dqdt)
+
+        is0 = (k == 0).astype(fdt)
+        is1 = (k == 1).astype(fdt)
+        isb = (k == nl - 1).astype(fdt)
+        dqdt = (dqdt + is0 * (fohfac0 * (wek_ref[0] - ent_ref[0]))
+                + is1 * (fohfac1 * ent_ref[0])
+                - isb * (bdrfac * d2c))
+
+        qom = qom_ref[0, 0]
+        qnew = qom + tdt * dqdt
+        if sponge:
+            betay = beta_y0 + beta_dy * gr0.astype(fdt)
+            qnew = qnew + (tdt * c1spl) * rspl_ref[0] * (qom - betay)
+        out_ref[0, 0, ...] = jnp.where(zonal, qc, qnew)
+
+    return kernel
+
+
+def qgstep_pallas(pom, po, qo, qom, wekpo, entoc, r_spl, consts,
+                  ah2, ah4, *, cyclic, sponge, interpret=False):
+    """Fused vorticity leapfrog. `consts`: python-float tuple
+    (dxm2, bcfac, adfac, 1/f0, tdt, bdrfac, c1spl, beta*y0, beta*dy,
+    fohfac0, fohfac1); ah2/ah4: per-layer python-float tuples.
+    Returns qo_new with the zonal boundary rows carrying the OLD qo
+    (overwritten later by the boundary PV relation)."""
+    nl, ny, nx = pom.shape
+    nty = pl.cdiv(ny, TILE_Y)
+    nxw = nx + 2 * HALO
+
+    pom_t = _tiles(pom, HALO, cyclic, nty)      # (nl,nty,T+6,nx+6)
+    po_t = _tiles(po, 1, cyclic, nty)
+    qo_t = _tiles(qo, 1, cyclic, nty)
+    qom_t = _tiles(qom, 0, cyclic, nty)
+    wek_t = _tiles(wekpo, 0, cyclic, nty)       # (nty,T,nx)
+    ent_t = _tiles(entoc, 0, cyclic, nty)
+    rspl_t = (_tiles(r_spl, 0, cyclic, nty) if sponge
+              else jnp.zeros_like(wek_t))
+
+    kernel = _make_kernel(ny, nx, nl, cyclic, sponge, consts,
+                          tuple(ah2), tuple(ah4))
+
+    # The package enables jax_enable_x64 globally (CPU parity runs);
+    # Mosaic cannot lower the resulting int64 grid/index arithmetic,
+    # so trace the kernel call in a 32-bit scope (all operands are
+    # already float32 on TPU).
+    x64_scope = (jax.enable_x64(False)
+                 if jax.config.jax_enable_x64 and not interpret
+                 else _nullcontext())
+    with x64_scope:
+        out = pl.pallas_call(
+        kernel,
+        grid=(nl, nty),
+        in_specs=[
+            pl.BlockSpec((1, 1, TILE_Y + 2 * HALO, nxw),
+                         lambda k, t: (k, t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, TILE_Y + 2, nx + 2),
+                         lambda k, t: (k, t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, TILE_Y + 2, nx + 2),
+                         lambda k, t: (k, t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, TILE_Y, nx),
+                         lambda k, t: (k, t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TILE_Y, nx), lambda k, t: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TILE_Y, nx), lambda k, t: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TILE_Y, nx), lambda k, t: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, TILE_Y, nx),
+                               lambda k, t: (k, t, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((nl, nty, TILE_Y, nx),
+                                       pom.dtype),
+            interpret=interpret,
+        )(pom_t, po_t, qo_t, qom_t, wek_t, ent_t, rspl_t)
+
+    return out.reshape(nl, nty * TILE_Y, nx)[:, :ny, :]
+
+
+class _nullcontext:
+    def __enter__(self):
+        return None
+
+    def __exit__(self, *a):
+        return False

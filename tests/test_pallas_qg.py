@@ -1,0 +1,70 @@
+"""Fused Pallas QG-step kernel vs the jnp reference operators
+(interpreter mode on CPU; the same code path runs compiled on TPU)."""
+
+import numpy as np
+import pytest
+
+from qgcm_tpu.config import ModelConfig, OceanConfig, SpongeConfig
+from qgcm_tpu.model import build_model
+from qgcm_tpu.models.ocean import (init_ocean_state,
+                                   ocean_forcing_from_mean, _qgostep,
+                                   _oml, make_ocean_step)
+from qgcm_tpu.generators import eddy_pressure, double_gyre_windstress
+
+
+def _setup(cyclic, sponge=False, nlo=3):
+    oc = OceanConfig(nlo=nlo, dxo=20e3, delek=2.0,
+                     hoc=(350.0, 750.0, 2900.0)[:nlo],
+                     gpoc=(0.015, 0.0075)[:nlo - 1],
+                     tabsoc=(287.0, 282.0, 276.0)[:nlo],
+                     ah2oc=(1e2, 1e2, 1e2)[:nlo],
+                     ah4oc=(1e10, 2e10, 3e10)[:nlo])
+    cfg = ModelConfig(nxta=24, nyta=24, nxaooc=24, nyaooc=12, ndxr=6,
+                      fnot=5.92e-5, beta=2.08e-11, ocean=oc,
+                      ocean_only=True, cyclic_ocean=cyclic,
+                      sponge=SpongeConfig(enabled=sponge))
+    model = build_model(cfg.validate())
+    st = init_ocean_state(model, po=eddy_pressure(cfg))
+    f = ocean_forcing_from_mean(
+        model, *double_gyre_windstress(cfg, model.grids))
+    # a couple of real steps so qo != qcomp(po) trivially
+    st, _ = make_ocean_step(model)(st, f)
+    st, _ = make_ocean_step(model)(st, f)
+    entoc = _oml(model, st, f)[2]
+    return model, st, f, entoc
+
+
+@pytest.mark.parametrize("cyclic,sponge", [(False, False), (True, False),
+                                           (True, True)])
+def test_pallas_matches_jnp(cyclic, sponge):
+    model, st, f, entoc = _setup(cyclic, sponge)
+    q_ref, qm_ref, cyc_ref = _qgostep(model, st, f, entoc)
+
+    model_p = model.__class__(**{**model.__dict__,
+                                 "cfg": model.cfg.replace(use_pallas=True)})
+    q_pl, qm_pl, cyc_pl = _qgostep(model_p, st, f, entoc)
+
+    a, b = np.asarray(q_ref), np.asarray(q_pl)
+    scale = np.abs(a).max()
+    assert np.abs(a - b).max() < 1e-12 * scale
+    assert np.array_equal(np.asarray(qm_ref), np.asarray(qm_pl))
+    if cyclic:
+        for key in cyc_ref:
+            ra = np.asarray(cyc_ref[key])
+            rb = np.asarray(cyc_pl[key])
+            sc = np.abs(ra).max() + 1e-30
+            assert np.abs(ra - rb).max() < 1e-10 * sc, key
+
+
+def test_pallas_full_step_consistency():
+    """Whole ocean substep with the fused kernel: inversion still
+    exactly consistent (qcomp round-trip via the step machinery)."""
+    model, st, f, entoc = _setup(True, True, nlo=2)
+    model_p = model.__class__(**{**model.__dict__,
+                                 "cfg": model.cfg.replace(use_pallas=True)})
+    st1, d1 = make_ocean_step(model)(st, f)
+    st2, d2 = make_ocean_step(model_p)(st, f)
+    for name in ("po", "qo", "sst"):
+        a = np.asarray(getattr(st1, name))
+        b = np.asarray(getattr(st2, name))
+        assert np.abs(a - b).max() < 1e-11 * (np.abs(a).max() + 1e-30), name
