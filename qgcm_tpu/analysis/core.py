@@ -92,7 +92,7 @@ class QgcmData:
         return t, hmax, hi, hj
 
     def write_sshmax(self, path=None):
-        from ..io.ncdf import NcWriter
+        from ..io.ncdf import make_writer as NcWriter
         t, hmax, hi, hj = self.sshmax()
         path = path or os.path.join(self.dir, "sshmax_etc.nc")
         w = NcWriter(path)
@@ -140,7 +140,7 @@ class QgcmData:
         return out
 
     def write_energy(self, path=None):
-        from ..io.ncdf import NcWriter
+        from ..io.ncdf import make_writer as NcWriter
         e = self.energy_series()
         path = path or os.path.join(self.dir, "monit_energy.nc")
         w = NcWriter(path)

@@ -25,7 +25,7 @@ from .core import GRAV, M_TO_CM
 def unify_monit(outdirs, path):
     """Concatenate monit.nc time series from successive run segments
     into one file (dropping duplicated boundary records)."""
-    from ..io.ncdf import NcWriter
+    from ..io.ncdf import make_writer as NcWriter
     series = {}
     times = []
     for d in outdirs:
@@ -62,7 +62,7 @@ def _load_ocavg(path):
 
 def average_more(avg_dir, n, out_dir=None):
     """Re-average the ocavg_*.nc stream in blocks of n files."""
-    from ..io.ncdf import NcWriter
+    from ..io.ncdf import make_writer as NcWriter
     files = sorted(glob.glob(os.path.join(avg_dir, "ocavg_*.nc")))
     out_dir = out_dir or avg_dir
     written = []

@@ -104,7 +104,7 @@ class AreasWriter:
     """areas.nc: per-box T-average time series."""
 
     def __init__(self, path: str, boxes: AreaBoxes):
-        from ..io.ncdf import NcWriter
+        from ..io.ncdf import make_writer as NcWriter
         self.boxes = boxes
         self.rec = 0
         w = NcWriter(path)

@@ -70,7 +70,7 @@ def finalize_cov(acc: CovAccum):
 def write_covar(path: str, entries: dict):
     """entries: name -> (CovAccum, stride). Writes avg<name> and
     cov<name> in the covar.nc layout."""
-    from ..io.ncdf import NcWriter
+    from ..io.ncdf import make_writer as NcWriter
     w = NcWriter(path)
     for name, acc in entries.items():
         mean, cov = finalize_cov(acc)

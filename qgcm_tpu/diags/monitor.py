@@ -275,7 +275,7 @@ _AT_SCAL = ["pkenat", "utauat", "hcmlat", "tmaooc", "olrtop", "wetmat",
 
 class MonitorWriter:
     def __init__(self, path: str, model):
-        from ..io.ncdf import NcWriter
+        from ..io.ncdf import make_writer as NcWriter
         cfg = model.cfg
         self.model = model
         self.rec = 0

@@ -65,7 +65,7 @@ def qocdiag_terms(model, state, forcing, entoc):
 
 class QocdiagWriter:
     def __init__(self, path: str, model, stride: int = 1):
-        from ..io.ncdf import NcWriter
+        from ..io.ncdf import make_writer as NcWriter
         cfg = model.cfg
         g = model.grids
         self.stride = stride

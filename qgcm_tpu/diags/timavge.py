@@ -109,7 +109,7 @@ def write_avges(path: str, model, oc_acc: Optional[OceanAverages],
     The ocean variables double as a mean-forcing file for later
     ocean-only runs (q-gcm.F:791-808 reads fnetoc/tauxo/tauyo; the
     atmos-only mode reads sst)."""
-    from ..io.ncdf import NcWriter
+    from ..io.ncdf import make_writer as NcWriter
     cfg = model.cfg
     w = NcWriter(path)
     if oc_acc is not None:

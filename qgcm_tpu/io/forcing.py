@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from .ncdf import NcWriter, read_vars, read_var
+from .ncdf import make_writer as NcWriter, read_vars, read_var
 
 
 def write_mean_forcing(path: str, model, tauxo, tauyo, fnetoc,

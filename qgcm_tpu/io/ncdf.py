@@ -44,8 +44,29 @@ class NcWriter:
         v[rec] = np.asarray(value, dtype=v.data.dtype
                             if hasattr(v, "data") else v.typecode())
 
+    def flush(self):
+        self.f.flush()
+
     def close(self):
         self.f.close()
+
+
+def make_writer(path: str, backend: str = None):
+    """Writer factory. backend: "native" (C++ async runtime), "scipy",
+    or None -> $QGCM_IO_BACKEND or auto (native when buildable)."""
+    import os
+    backend = backend or os.environ.get("QGCM_IO_BACKEND", "auto")
+    if backend in ("auto", "native"):
+        try:
+            from .native import NativeNcWriter, available
+            if available():
+                return NativeNcWriter(path)
+            if backend == "native":
+                raise OSError("native writer unavailable")
+        except Exception:
+            if backend == "native":
+                raise
+    return NcWriter(path)
 
 
 def read_var(path: str, name: str) -> np.ndarray:

@@ -12,7 +12,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from .ncdf import NcWriter, read_vars
+from .ncdf import make_writer as NcWriter, read_vars
 from ..state import OceanState, AtmosState
 
 

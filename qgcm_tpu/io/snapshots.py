@@ -18,7 +18,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from .ncdf import NcWriter
+from .ncdf import make_writer as NcWriter
 
 
 def _sub(a, stride):

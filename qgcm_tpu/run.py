@@ -347,7 +347,7 @@ class Driver:
             if due(self.nocavg):
                 # k247 daily-mean po stream: window means by
                 # differencing the cumulative accumulator
-                from .io.ncdf import NcWriter
+                from .io.ncdf import make_writer as NcWriter
                 if oacc_mark is None:
                     pod = oacc.po / max(float(oacc.n), 1.0)
                 else:
