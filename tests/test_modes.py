@@ -1,0 +1,155 @@
+"""Configuration-variant coverage: the reference's CPP feature flags
+(make.config: atmos_only, sb_hflux/nb_hflux, tau_udiff, no_oml_k247)
+and the topography modes, exercised end-to-end."""
+
+import numpy as np
+import pytest
+
+from qgcm_tpu.config import (ModelConfig, OceanConfig, AtmosConfig,
+                             double_gyre_coupled)
+from qgcm_tpu.model import build_model
+from qgcm_tpu.models.ocean import (init_ocean_state,
+                                   ocean_forcing_from_mean,
+                                   make_ocean_step)
+from qgcm_tpu.models.atmos import init_atmos_state
+from qgcm_tpu.models.stepper import (make_atmos_only_runner,
+                                     make_coupled_runner)
+from qgcm_tpu.generators import zero_forcing, eddy_pressure
+from qgcm_tpu.coupling import make_xforc
+
+
+def _coupled_cfg(**over):
+    return double_gyre_coupled(nxta=24, nyta=12, nxaooc=8, nyaooc=8,
+                               ndxr=4, dta=180.0,
+                               ocean=OceanConfig(dxo=20.0e3), **over)
+
+
+def test_atmos_only_mode():
+    """atmos_only: prescribed mean SST drives the atmosphere
+    (q-gcm.F:752-775)."""
+    cfg = _coupled_cfg(atmos_only=True)
+    model = build_model(cfg)
+    at = init_atmos_state(model, init="rbal")
+    sst_mean = np.broadcast_to(
+        model.rad.sstbar[:, None], (cfg.nyto, cfg.nxto)).copy()
+    run = make_atmos_only_runner(model)
+    at2 = run(at, sst_mean, 60)
+    assert np.isfinite(np.asarray(at2.pa)).all()
+    assert np.isfinite(np.asarray(at2.ast)).all()
+    # radiative forcing spins the channel up from rest
+    assert float(np.abs(np.asarray(at2.qa) - np.asarray(at.qa)).max()) > 0
+
+
+def test_topography_define_and_array():
+    """'define' builds the reference's test features (mid-Atlantic
+    ridge / sloping Rockies); a user array passes through; the dynamic
+    topography enters the bottom-layer PV."""
+    # domain must be wide enough to contain the reference's built-in
+    # features (ocean ridge at x = 2000-2600 km, topsubs.F:120-133;
+    # atmos ridge near x = 8800 km, :270-298)
+    cfg = double_gyre_coupled(nxta=128, nyta=32, nxaooc=18, nyaooc=8,
+                              ndxr=8, dta=180.0,
+                              ocean=OceanConfig(dxo=20.0e3))
+    m_flat = build_model(cfg)
+    m_def = build_model(cfg, topocname="define", topatname="define")
+    assert float(np.abs(m_def.topo.dtopoc).max()) > 0
+    assert float(np.abs(m_def.topo.ddynat).max()) > 0
+    assert float(np.abs(m_flat.topo.ddynoc).max()) == 0
+
+    cfg = _coupled_cfg()
+    m_flat = build_model(cfg)
+    custom = np.zeros((cfg.nypo, cfg.nxpo))
+    custom[:, : cfg.nxpo // 2] = 500.0
+    m_arr = build_model(cfg, topocname=custom)
+    np.testing.assert_array_equal(m_arr.topo.dtopoc, custom)
+
+    # ddyn shows up in the initial PV of the bottom layer
+    oc_flat = init_ocean_state(m_flat, init="rbal")
+    oc_topo = init_ocean_state(m_arr, init="rbal")
+    dq = np.abs(np.asarray(oc_topo.qo[-1]) - np.asarray(oc_flat.qo[-1]))
+    assert dq.max() > 0
+    dq01 = np.abs(np.asarray(oc_topo.qo[0]) - np.asarray(oc_flat.qo[0]))
+    assert dq01.max() == 0
+
+
+def test_topography_coupled_run_stable():
+    cfg = _coupled_cfg()
+    model = build_model(cfg, topocname="define", topatname="define")
+    oc = init_ocean_state(model, init="rbal")
+    at = init_atmos_state(model, init="rbal")
+    oc2, at2 = make_coupled_runner(model)(oc, at, 30)
+    assert np.isfinite(np.asarray(oc2.po)).all()
+    assert np.isfinite(np.asarray(at2.pa)).all()
+
+
+@pytest.mark.parametrize("flag", ["sb_hflux", "nb_hflux"])
+def test_boundary_heat_flux_modes(flag):
+    """sb/nb_hflux: specified-temperature boundary allows heat flux
+    through the corresponding wall (omlsubs.F modified BCs)."""
+    fnot = 5.92e-5 if flag == "sb_hflux" else -5.92e-5
+    beta = 2.08e-11
+    cfg = ModelConfig(nxta=24, nyta=24, nxaooc=24, nyaooc=12, ndxr=2,
+                      fnot=fnot, beta=beta,
+                      ocean=OceanConfig(nlo=2, dxo=20e3, delek=0.0,
+                                        hoc=(800.0, 3200.0),
+                                        gpoc=(0.01,),
+                                        tabsoc=(287.0, 282.0),
+                                        ah2oc=(0.0, 0.0),
+                                        ah4oc=(0.0, 0.0)),
+                      ocean_only=True, cyclic_ocean=True,
+                      **{flag: True}).validate()
+    model = build_model(cfg)
+    st = init_ocean_state(model, po=eddy_pressure(cfg))
+    f = ocean_forcing_from_mean(model, *zero_forcing(cfg))
+    step = make_ocean_step(model)
+    for _ in range(10):
+        st, _ = step(st, f)
+    assert np.isfinite(np.asarray(st.sst)).all()
+
+
+def test_tau_udiff_changes_stress():
+    """tau_udiff: the windstress sees the ocean-relative velocity over
+    the ocean box, so a moving ocean changes tau there but not over
+    land (xfosubs.F:240-335)."""
+    cfg0 = _coupled_cfg()
+    cfgu = _coupled_cfg(tau_udiff=True)
+    m0, mu = build_model(cfg0), build_model(cfgu)
+    at = init_atmos_state(m0, init="rbal")
+    oc = init_ocean_state(m0, po=eddy_pressure(cfg0, ssh_amp=0.5))
+    f0 = make_xforc(m0)(at.pam, oc.pom, oc.sstm, at.astm, at.hmixam)
+    fu = make_xforc(mu)(at.pam, oc.pom, oc.sstm, at.astm, at.hmixam)
+    tx0 = np.asarray(f0[0].tauxo)
+    txu = np.asarray(fu[0].tauxo)
+    assert np.abs(tx0 - txu).max() > 0
+    # atmospheric stress outside the ocean window unchanged
+    ta0 = np.asarray(f0[1].tauxa)
+    tau = np.asarray(fu[1].tauxa)
+    nx1, ny1 = cfg0.nx1 - 1, cfg0.ny1 - 1
+    land = np.ones_like(ta0, bool)
+    land[ny1:ny1 + cfg0.nyaooc + 1, nx1:nx1 + cfg0.nxaooc + 1] = False
+    np.testing.assert_allclose(ta0[land], tau[land], rtol=1e-12)
+
+
+def test_no_oml_mode():
+    """k247 no_oml: the ocean mixed layer is frozen; entrainment is
+    zero and SST never changes."""
+    cfg = ModelConfig(nxta=24, nyta=24, nxaooc=24, nyaooc=12, ndxr=2,
+                      fnot=5.92e-5, beta=2.08e-11,
+                      ocean=OceanConfig(nlo=2, dxo=20e3, delek=0.0,
+                                        hoc=(800.0, 3200.0),
+                                        gpoc=(0.01,),
+                                        tabsoc=(287.0, 282.0),
+                                        ah2oc=(0.0, 0.0),
+                                        ah4oc=(0.0, 0.0)),
+                      ocean_only=True, cyclic_ocean=True,
+                      no_oml=True).validate()
+    model = build_model(cfg)
+    st = init_ocean_state(model, po=eddy_pressure(cfg), init="rbal")
+    f = ocean_forcing_from_mean(model, *zero_forcing(cfg))
+    step = make_ocean_step(model)
+    st2 = st
+    for _ in range(5):
+        st2, _ = step(st2, f)
+    np.testing.assert_array_equal(np.asarray(st.sst),
+                                  np.asarray(st2.sst))
+    assert not np.array_equal(np.asarray(st.po), np.asarray(st2.po))
