@@ -245,6 +245,8 @@ class Driver:
         step0 = round(tini * SECSYR / cfg.dta)
 
         write_matlab_params(f"{out}/input_parameters.m", p, cfg, model)
+        from .report import startup_report, sample_report
+        self._log(startup_report(model))
 
         osnap = (OceanSnapshots(out, model, flags=p.outfloc,
                                 stride=p.nsko)
@@ -369,8 +371,17 @@ class Driver:
                                  tyrs)
             if due(self.nprint):
                 wall = time.time() - t0
+                from .diags.cfl import cfl_numbers
+                cflr = cfl_numbers(model, oc if self.has_oc else None,
+                                   at if self.has_at else None,
+                                   ofor, afor)
                 self._log(f"step {n_done}/{self.nsteps} t={tyrs:.4f}y "
-                          f"wall={wall:.1f}s")
+                          f"wall={wall:.1f}s "
+                          f"cfl(oc)={float(cflr.cnqgoc):.3f} "
+                          f"cfl(at)={float(cflr.cnqgat):.3f}")
+                self._log(sample_report(
+                    model, oc if self.has_oc else None,
+                    at if self.has_at else None))
 
         tyrs = tini + n_done * cfg.dta / SECSYR
         save_restart(f"{out}/lastday.nc", model, oc, at, tyrs)
