@@ -20,7 +20,11 @@ import jax
 # Field dtype remains configurable per-run (see ModelConfig.dtype).
 jax.config.update("jax_enable_x64", True)
 
-from .config import ModelConfig, OceanConfig, AtmosConfig  # noqa: E402,F401
+from .config import (ModelConfig, OceanConfig, AtmosConfig,  # noqa: E402,F401
+                     MixedLayerConfig, RadiationConfig, SpongeConfig,
+                     PRESETS)
 from .model import build_model, Model  # noqa: E402,F401
+from .params import RunParams, parse_input_params  # noqa: E402,F401
+from .run import run_case, Driver  # noqa: E402,F401
 
 __version__ = "0.1.0"

@@ -100,3 +100,33 @@ def test_mean_forcing_roundtrip(setup, tmp_path):
     tx2, ty2, fn2 = read_mean_forcing(path)
     assert np.array_equal(tx, tx2)
     assert np.array_equal(fn, fn2)
+
+
+def test_orbax_checkpoint_roundtrip(setup, tmp_path):
+    """Sharded (Orbax) checkpoint path: save on one layout, restore
+    into a device mesh, state identical."""
+    import jax
+    if len(jax.devices()) < 4:
+        pytest.skip("needs multi-device mesh")
+    from qgcm_tpu.io.orbax_ckpt import save_checkpoint, load_checkpoint
+    from qgcm_tpu.parallel.mesh import make_mesh
+
+    model, oc, at = setup
+    run = make_coupled_runner(model)
+    oc1, at1 = run(oc, at, 15)
+    path = str(tmp_path / "ckpt")
+    save_checkpoint(path, oc1, at1, tyrs=0.25)
+
+    mesh = make_mesh(jax.devices()[:8])
+    oc2, at2, tyrs = load_checkpoint(path, model, mesh=mesh)
+    assert tyrs == 0.25
+    assert np.array_equal(np.asarray(oc1.po), np.asarray(oc2.po))
+    assert np.array_equal(np.asarray(at1.hmixam), np.asarray(at2.hmixam))
+    # restored arrays actually live on the mesh
+    assert len(oc2.sst.addressable_shards) == 8
+    # and the run continues identically to the unsharded path
+    oc3, at3 = make_coupled_runner(model, mesh=mesh)(oc2, at2, 15,
+                                                     step0=15)
+    ref_oc, ref_at = run(oc1, at1, 15, step0=15)
+    a, b = np.asarray(ref_oc.po), np.asarray(oc3.po)
+    assert np.abs(a - b).max() < 1e-11 * (np.abs(a).max() + 1e-30)
