@@ -112,7 +112,12 @@ def cmd_prepare(args):
     model = build_model(cfg)
     os.makedirs(args.case, exist_ok=True)
 
-    if args.eddy_amp is not None:
+    if args.modon:
+        from .generators import modon_pressure
+        rdef = float(model.modes_oc.rdef[1])
+        po = modon_pressure(cfg, rdef)
+        oc = init_ocean_state(model, po=po)
+    elif args.eddy_amp is not None:
         po = eddy_pressure(cfg, ssh_amp=args.eddy_amp,
                            l_efold=args.eddy_scale)
         oc = init_ocean_state(model, po=po)
@@ -206,6 +211,8 @@ def main(argv=None):
     pp.add_argument("case")
     pp.add_argument("--eddy-amp", type=float, default=None,
                     help="Gaussian eddy SSH amplitude (m)")
+    pp.add_argument("--modon", action="store_true",
+                    help="Larichev-Reznik modon initial condition")
     pp.add_argument("--eddy-scale", type=float, default=80.0e3)
     pp.add_argument("--forcing", choices=["zero", "double-gyre"],
                     default="zero")

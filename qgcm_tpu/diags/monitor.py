@@ -171,6 +171,14 @@ class MonitorRecord(NamedTuple):
     emfroc: jnp.ndarray
     ermasa: jnp.ndarray
     emfrat: jnp.ndarray
+    cfraoc: jnp.ndarray   # fraction of convecting ocean ML points
+    centoc: jnp.ndarray   # integrated convective entrainment
+    cfraat: jnp.ndarray
+    centat: jnp.ndarray
+    slhfav: jnp.ndarray   # xforc heat-flux means (arlaav etc.)
+    oradav: jnp.ndarray
+    arocav: jnp.ndarray
+    arlaav: jnp.ndarray
     cfl: object
 
 
@@ -189,13 +197,17 @@ def compute_monitor(model, ocean=None, atmos=None, oc_forcing=None,
     osfmin = osfmax = occirc = zv
     occtot = z
     ermaso = emfroc = ermasa = emfrat = zv
+    cfraoc = centoc = cfraat = centat = z
+    slhfav = oradav = arocav = arlaav = z
 
     if ocean is not None and oc_forcing is not None:
         if cfg.no_oml:
             entoc = None
         else:
             from ..models.ocean import _oml
-            entoc = _oml(model, ocean, oc_forcing)[2]
+            _omlout = _oml(model, ocean, oc_forcing)
+            entoc = _omlout[2]
+            cfraoc, centoc = _omlout[6], _omlout[7]
         gp = jnp.asarray(cfg.ocean.gpoc, dtype)
         hoc = jnp.asarray(cfg.ocean.hoc, dtype)
         mon_oc, btdg = _fluid_monitor(
@@ -222,7 +234,17 @@ def compute_monitor(model, ocean=None, atmos=None, oc_forcing=None,
 
     if atmos is not None and at_forcing is not None:
         from ..models.atmos import _aml
-        entat = _aml(model, atmos, at_forcing)[4]
+        _amlout = _aml(model, atmos, at_forcing)
+        entat = _amlout[4]
+        cfraat, centat = _amlout[8], _amlout[9]
+        if not cfg.atmos_only and ocean is not None \
+                and model.coupling is not None:
+            from ..coupling import make_xforc
+            _, _, xdiags = make_xforc(model)(
+                atmos.pam, ocean.pom, ocean.sstm, atmos.astm,
+                atmos.hmixam)
+            slhfav, oradav = xdiags.slhfav, xdiags.oradav
+            arocav, arlaav = xdiags.arocav, xdiags.arlaav
         gp = jnp.asarray(cfg.atmos.gpat, dtype)
         hat = jnp.asarray(cfg.atmos.hat, dtype)
         mon_at, _ = _fluid_monitor(
@@ -253,6 +275,8 @@ def compute_monitor(model, ocean=None, atmos=None, oc_forcing=None,
         osfmax=osfmax, occirc=occirc, occtot=occtot, hfmloc=hfml,
         hcmlat=hcml, tmaooc=tmaooc, hmlmat=hmlmat, olrtop=olrtop,
         ermaso=ermaso, emfroc=emfroc, ermasa=ermasa, emfrat=emfrat,
+        cfraoc=cfraoc, centoc=centoc, cfraat=cfraat, centat=centat,
+        slhfav=slhfav, oradav=oradav, arocav=arocav, arlaav=arlaav,
         cfl=cfl)
 
 
@@ -261,16 +285,21 @@ def compute_monitor(model, ocean=None, atmos=None, oc_forcing=None,
 # ----------------------------------------------------------------------
 
 _OC_VECNL = ["kealoc", "ddtkeoc", "ah2doc", "ah4doc", "pavgoc",
-             "qavgoc", "osfmin", "osfmax", "occirc"]
+             "qavgoc", "osfmin", "osfmax", "occirc", "ugminoc",
+             "ugmaxoc", "vgminoc", "vgmaxoc"]
 _OC_VECNI = ["ddtpeoc", "etamoc", "et2moc", "ermaso", "emfroc"]
 _OC_SCAL = ["pkenoc", "utauoc", "btdgoc", "occtot", "hfmloc", "wetmoc",
             "watmoc", "wepmoc", "wapmoc", "entmoc", "enamoc", "tmlmoc",
-            "sstmin", "sstmax", "cnqgoc", "cnmloc"]
-_AT_VECNL = ["kealat", "ddtkeat", "ah4dat", "pavgat", "qavgat"]
+            "sstmin", "sstmax", "cnqgoc", "cnmloc", "cfraoc", "centoc",
+            "umminoc", "ummaxoc", "vmminoc", "vmmaxoc"]
+_AT_VECNL = ["kealat", "ddtkeat", "ah4dat", "pavgat", "qavgat",
+             "ugminat", "ugmaxat", "vgminat", "vgmaxat"]
 _AT_VECNI = ["ddtpeat", "etamat", "et2mat", "ermasa", "emfrat"]
 _AT_SCAL = ["pkenat", "utauat", "hcmlat", "tmaooc", "olrtop", "wetmat",
             "watmat", "wepmat", "wapmat", "entmat", "enamat", "tmlmat",
-            "hmlmat", "astmin", "astmax", "cnqgat", "cnmlat"]
+            "hmlmat", "astmin", "astmax", "cnqgat", "cnmlat", "cfraat",
+            "centat", "slhfav", "oradav", "arocav", "arlaav",
+            "umminat", "ummaxat", "vmminat", "vmmaxat"]
 
 
 class MonitorWriter:
@@ -318,7 +347,12 @@ class MonitorWriter:
                 watmoc=m.watm, wepmoc=m.wepm, wapmoc=m.wapm,
                 entmoc=m.entm, enamoc=m.enam, tmlmoc=m.tmlm,
                 sstmin=m.tmin, sstmax=m.tmax,
-                cnqgoc=rec.cfl.cnqgoc, cnmloc=rec.cfl.cnmloc)
+                cnqgoc=rec.cfl.cnqgoc, cnmloc=rec.cfl.cnmloc,
+                cfraoc=rec.cfraoc, centoc=rec.centoc,
+                ugminoc=rec.cfl.ugminoc_s, ugmaxoc=rec.cfl.ugmaxoc_s,
+                vgminoc=rec.cfl.vgminoc_s, vgmaxoc=rec.cfl.vgmaxoc_s,
+                umminoc=rec.cfl.umminoc, ummaxoc=rec.cfl.ummaxoc,
+                vmminoc=rec.cfl.vmminoc, vmmaxoc=rec.cfl.vmmaxoc)
             for n, v in vals.items():
                 w.append(n, r, np.asarray(v))
         m = rec.at
@@ -333,7 +367,14 @@ class MonitorWriter:
                 wepmat=m.wepm, wapmat=m.wapm, entmat=m.entm,
                 enamat=m.enam, tmlmat=m.tmlm,
                 hmlmat=rec.hmlmat, astmin=m.tmin, astmax=m.tmax,
-                cnqgat=rec.cfl.cnqgat, cnmlat=rec.cfl.cnmlat)
+                cnqgat=rec.cfl.cnqgat, cnmlat=rec.cfl.cnmlat,
+                cfraat=rec.cfraat, centat=rec.centat,
+                slhfav=rec.slhfav, oradav=rec.oradav,
+                arocav=rec.arocav, arlaav=rec.arlaav,
+                ugminat=rec.cfl.ugminat_s, ugmaxat=rec.cfl.ugmaxat_s,
+                vgminat=rec.cfl.vgminat_s, vgmaxat=rec.cfl.vgmaxat_s,
+                umminat=rec.cfl.umminat, ummaxat=rec.cfl.ummaxat,
+                vmminat=rec.cfl.vmminat, vmmaxat=rec.cfl.vmmaxat)
             for n, v in vals.items():
                 w.append(n, r, np.asarray(v))
         self.rec += 1

@@ -73,3 +73,44 @@ def double_gyre_windstress(cfg: ModelConfig, grids: Grids,
     tauyo = np.zeros((cfg.nypo, cfg.nxpo))
     fnetoc = np.zeros((cfg.nyto, cfg.nxto))
     return tauxo, tauyo, fnetoc
+
+
+def modon_pressure(cfg: ModelConfig, rdef: float,
+                   a: float = 4.0, q: float = 10.0, k: float = 4.6985):
+    """Larichev-Reznik modon (dipole) initial pressure for layer 1
+    (k247_make_restart_q-gcm.F90:123-219, use_modon branch; parameters
+    from Flierl et al. 1980 Table III: the pair (a, q) fixes c and the
+    matching wavenumber k).
+
+    Interior (r < a):  p ~ b1 J1(k r / a) - r1 r, times sin(theta);
+    exterior: p ~ d1 K1(sqrt(1 + 1/c) r); all scaled by
+    beta Rdef^3 f0. `rdef` is the deformation radius (m); the model's
+    computed modes_oc.rdef[1] is the natural choice (the reference
+    hard-wires the equivalent value).
+    """
+    from scipy.special import j1, k1
+    c = 1.0 / ((q / a) ** 2 - 1.0) if q != a else 0.0
+    b1 = (1.0 + c) * a**3 / (k**2 * j1(k))
+    r1 = (1.0 + c * ((k / a) ** 2 + 1.0)) / (k / a) ** 2
+    d1 = (-c * a / k1(a * np.sqrt(1.0 + 1.0 / c))) if c != 0 else 0.0
+
+    dxo = cfg.ocean.dxo
+    nxpo, nypo, nlo = cfg.nxpo, cfg.nypo, cfg.nlo
+    i_e, j_e = cfg.nxto // 2, cfg.nyto // 2
+    ii = (np.arange(nxpo) + 1 - i_e) * dxo
+    jj = (np.arange(nypo) + 1 - j_e) * dxo
+    x, y = ii[None, :], jj[:, None]
+    r = np.sqrt(x**2 + y**2) / rdef
+    sinth = np.sin(np.arctan2(y, x))
+    amp = cfg.beta * rdef**3 * cfg.fnot
+    interior = amp * (b1 * j1((k / a) * np.clip(r, 0, a)) - r1 * r) \
+        * sinth
+    if c != 0:
+        exterior = amp * d1 * k1(np.sqrt(1.0 + 1.0 / c)
+                                 * np.maximum(r, a)) * sinth
+    else:
+        exterior = np.zeros_like(r)
+    po1 = np.where(r < a, interior, exterior)
+    po = np.zeros((nlo, nypo, nxpo))
+    po[0] = po1
+    return po

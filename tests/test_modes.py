@@ -153,3 +153,35 @@ def test_no_oml_mode():
     np.testing.assert_array_equal(np.asarray(st.sst),
                                   np.asarray(st2.sst))
     assert not np.array_equal(np.asarray(st.po), np.asarray(st2.po))
+
+
+def test_modon_initial_condition():
+    """Larichev-Reznik modon IC: antisymmetric dipole in y, continuous
+    across the matching radius, stable for a few steps."""
+    from qgcm_tpu.generators import modon_pressure
+    cfg = ModelConfig(nxta=24, nyta=24, nxaooc=24, nyaooc=12, ndxr=2,
+                      fnot=5.92e-5, beta=2.08e-11,
+                      ocean=OceanConfig(nlo=2, dxo=20e3, delek=0.0,
+                                        hoc=(800.0, 3200.0),
+                                        gpoc=(0.01,),
+                                        tabsoc=(287.0, 282.0),
+                                        ah2oc=(0.0, 0.0),
+                                        ah4oc=(0.0, 0.0)),
+                      ocean_only=True, cyclic_ocean=True).validate()
+    model = build_model(cfg)
+    rdef = float(model.modes_oc.rdef[1])
+    po = modon_pressure(cfg, rdef)
+    assert np.isfinite(po).all()
+    assert np.abs(po[0]).max() > 0
+    # dipole: roughly antisymmetric about the centre row
+    j0 = cfg.nyto // 2 - 1   # the y = 0 (zero) line of the dipole
+    up = po[0, j0 + 4, :]
+    dn = po[0, j0 - 4, :]
+    assert np.sign(up[np.abs(up).argmax()]) != \
+        np.sign(dn[np.abs(dn).argmax()])
+    st = init_ocean_state(model, po=po)
+    f = ocean_forcing_from_mean(model, *zero_forcing(cfg))
+    step = make_ocean_step(model)
+    for _ in range(5):
+        st, _ = step(st, f)
+    assert np.isfinite(np.asarray(st.po)).all()
