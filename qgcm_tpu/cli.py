@@ -209,10 +209,11 @@ def main(argv=None):
 
     pp = sub.add_parser("prepare", help="generate IC/forcing files")
     pp.add_argument("case")
-    pp.add_argument("--eddy-amp", type=float, default=None,
-                    help="Gaussian eddy SSH amplitude (m)")
-    pp.add_argument("--modon", action="store_true",
-                    help="Larichev-Reznik modon initial condition")
+    icgrp = pp.add_mutually_exclusive_group()
+    icgrp.add_argument("--eddy-amp", type=float, default=None,
+                       help="Gaussian eddy SSH amplitude (m)")
+    icgrp.add_argument("--modon", action="store_true",
+                       help="Larichev-Reznik modon initial condition")
     pp.add_argument("--eddy-scale", type=float, default=80.0e3)
     pp.add_argument("--forcing", choices=["zero", "double-gyre"],
                     default="zero")

@@ -48,11 +48,8 @@ def _uv_faces(p, rdxf0):
     return u, v
 
 
-def _uv_face_max(p, rdxf0):
-    """Max |u|, |v| of the geostrophic flow per layer (face values)."""
-    u, v = _uv_faces(p, rdxf0)
-    return (jnp.max(jnp.abs(u), axis=(1, 2)),
-            jnp.max(jnp.abs(v), axis=(1, 2)))
+def _minmax(f, axes):
+    return jnp.min(f, axis=axes), jnp.max(f, axis=axes)
 
 
 def cfl_numbers(model, ocean=None, atmos=None, oc_forcing=None,
@@ -70,21 +67,27 @@ def cfl_numbers(model, ocean=None, atmos=None, oc_forcing=None,
 
     if ocean is not None:
         rdxof0 = 1.0 / (g.dxo * cfg.fnot)
-        ugoc, vgoc = _uv_face_max(ocean.po, rdxof0)
         uo, vo = _uv_faces(ocean.po, rdxof0)
-        ugminoc = jnp.min(uo, axis=(1, 2))
-        ugmaxoc = jnp.max(uo, axis=(1, 2))
-        vgminoc = jnp.min(vo, axis=(1, 2))
-        vgmaxoc = jnp.max(vo, axis=(1, 2))
+        ugminoc, ugmaxoc = _minmax(uo, (1, 2))
+        vgminoc, vgmaxoc = _minmax(vo, (1, 2))
+        ugoc = jnp.maximum(ugmaxoc, -ugminoc)
+        vgoc = jnp.maximum(vgmaxoc, -vgminoc)
         cnqgoc = (jnp.max(ugoc) + jnp.max(vgoc)) * cfg.dto / g.dxo
         if oc_forcing is not None:
             rhf0hm = 0.5 / (cfg.fnot * cfg.mixed.hmoc)
-            ue = (-rdxof0 * (ocean.po[0, 1:, :] - ocean.po[0, :-1, :])
-                  + rhf0hm * (oc_forcing.tauyo[1:, :]
-                              + oc_forcing.tauyo[:-1, :]))
-            ve = (rdxof0 * (ocean.po[0, :, 1:] - ocean.po[0, :, :-1])
-                  - rhf0hm * (oc_forcing.tauxo[:, 1:]
-                              + oc_forcing.tauxo[:, :-1]))
+            ue = (uo[0] + rhf0hm * (oc_forcing.tauyo[1:, :]
+                                    + oc_forcing.tauyo[:-1, :]))
+            ve = (vo[0] - rhf0hm * (oc_forcing.tauxo[:, 1:]
+                                    + oc_forcing.tauxo[:, :-1]))
+            # no normal flow through solid walls: the Ekman component
+            # is zeroed on wall faces (couroc, monitor_diag.F:1718-1731)
+            if not cfg.cyclic_ocean:
+                from ..ops.stencils import _col_mask
+                we = _col_mask(ue, 0) | _col_mask(ue, -1)
+                ue = jnp.where(we, 0.0, ue)
+            from ..ops.stencils import _row_mask
+            sn = _row_mask(ve, 0) | _row_mask(ve, -1)
+            ve = jnp.where(sn, 0.0, ve)
             cnmloc = (jnp.max(jnp.abs(ue)) + jnp.max(jnp.abs(ve))) \
                 * cfg.dto / g.dxo
             umminoc, ummaxoc = jnp.min(ue), jnp.max(ue)
@@ -92,18 +95,18 @@ def cfl_numbers(model, ocean=None, atmos=None, oc_forcing=None,
 
     if atmos is not None:
         rdxaf0 = 1.0 / (g.dxa * cfg.fnot)
-        ugat, vgat = _uv_face_max(atmos.pa, rdxaf0)
         ua, va = _uv_faces(atmos.pa, rdxaf0)
-        ugminat = jnp.min(ua, axis=(1, 2))
-        ugmaxat = jnp.max(ua, axis=(1, 2))
-        vgminat = jnp.min(va, axis=(1, 2))
-        vgmaxat = jnp.max(va, axis=(1, 2))
+        ugminat, ugmaxat = _minmax(ua, (1, 2))
+        vgminat, vgmaxat = _minmax(va, (1, 2))
+        ugat = jnp.maximum(ugmaxat, -ugminat)
+        vgat = jnp.maximum(vgmaxat, -vgminat)
         cnqgat = (jnp.max(ugat) + jnp.max(vgat)) * cfg.dta / g.dxa
         if at_forcing is not None:
-            ue = (-rdxaf0 * (atmos.pa[0, 1:, :] - atmos.pa[0, :-1, :])
-                  + at_forcing.uekat)
-            ve = (rdxaf0 * (atmos.pa[0, :, 1:] - atmos.pa[0, :, :-1])
-                  + at_forcing.vekat)
+            ue = ua[0] + at_forcing.uekat
+            ve = va[0] + at_forcing.vekat
+            from ..ops.stencils import _row_mask
+            sn = _row_mask(ve, 0) | _row_mask(ve, -1)
+            ve = jnp.where(sn, 0.0, ve)
             cnmlat = (jnp.max(jnp.abs(ue)) + jnp.max(jnp.abs(ve))) \
                 * cfg.dta / g.dxa
             umminat, ummaxat = jnp.min(ue), jnp.max(ue)

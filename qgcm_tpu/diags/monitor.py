@@ -183,7 +183,8 @@ class MonitorRecord(NamedTuple):
 
 
 def compute_monitor(model, ocean=None, atmos=None, oc_forcing=None,
-                    at_forcing=None, odiags=None, adiags=None):
+                    at_forcing=None, odiags=None, adiags=None,
+                    xdiags=None):
     """Compute the monitoring record from current states. Entrainment
     fields are recomputed from the (lagged) states via the mixed-layer
     code, mirroring the values the next step will use."""
@@ -237,12 +238,10 @@ def compute_monitor(model, ocean=None, atmos=None, oc_forcing=None,
         _amlout = _aml(model, atmos, at_forcing)
         entat = _amlout[4]
         cfraat, centat = _amlout[8], _amlout[9]
-        if not cfg.atmos_only and ocean is not None \
-                and model.coupling is not None:
-            from ..coupling import make_xforc
-            _, _, xdiags = make_xforc(model)(
-                atmos.pam, ocean.pom, ocean.sstm, atmos.astm,
-                atmos.hmixam)
+        if xdiags is not None:
+            # xforc heat-flux means, computed by the caller's xforc
+            # pass ("computed in xforc, so no duplication",
+            # monitor_data.F:110-113)
             slhfav, oradav = xdiags.slhfav, xdiags.oradav
             arocav, arlaav = xdiags.arocav, xdiags.arlaav
         gp = jnp.asarray(cfg.atmos.gpat, dtype)

@@ -89,7 +89,16 @@ def modon_pressure(cfg: ModelConfig, rdef: float,
     hard-wires the equivalent value).
     """
     from scipy.special import j1, k1
-    c = 1.0 / ((q / a) ** 2 - 1.0) if q != a else 0.0
+    if not np.isfinite(q):
+        # stationary modon (q -> infinity): c = 0, matching
+        # wavenumber k = 5.1356 (k247_make_restart_q-gcm.F90:138)
+        c = 0.0
+    elif q <= a:
+        raise ValueError(
+            f"modon requires q > a (got a={a}, q={q}); c = "
+            "1/((q/a)^2 - 1) is singular or negative otherwise")
+    else:
+        c = 1.0 / ((q / a) ** 2 - 1.0)
     b1 = (1.0 + c) * a**3 / (k**2 * j1(k))
     r1 = (1.0 + c * ((k / a) ** 2 + 1.0)) / (k / a) ** 2
     d1 = (-c * a / k1(a * np.sqrt(1.0 + 1.0 / c))) if c != 0 else 0.0

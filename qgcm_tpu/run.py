@@ -182,7 +182,7 @@ class Driver:
             return out
 
         self._chunk_fn = jax.jit(chunk_fn, static_argnames=("n_steps",))
-        self._xforc = xforc if has_at else None
+        self._xforc = jax.jit(xforc) if has_at else None
 
     # ------------------------------------------------------------------
     def _initial_state(self):
@@ -314,9 +314,14 @@ class Driver:
                     aborted = True
                     break
             if due(self.nmonit) and monw:
+                xdiags = None
+                if self.has_at and self.has_oc:
+                    _, _, xdiags = self._xforc(
+                        at.pam, oc.pom, oc.sstm, at.astm, at.hmixam)
                 monw.append(compute_monitor(
                     model, oc if self.has_oc else None,
-                    at if self.has_at else None, ofor, afor), tyrs)
+                    at if self.has_at else None, ofor, afor,
+                    xdiags=xdiags), tyrs)
             if due(self.noutoc) and osnap:
                 osnap.append(oc, ofor, tyrs)
             if due(self.noutat) and asnap:
