@@ -413,7 +413,9 @@ def make_xforc(model):
 
     # heat-flux factors (xfosubs.F:770-780)
     ocfrac = (g.dxo * g.dyo) / (g.dxa * g.dya)
-    fmafac = rad.Adown[0, 0] * 0.25 / cfg.atmos.gpat[0]
+    # float() casts: NumPy f64 scalars are strong-typed under x64 and
+    # would silently promote the whole f32 forcing pipeline
+    fmafac = float(rad.Adown[0, 0]) * 0.25 / cfg.atmos.gpat[0]
     fmatop = 0.25 * (rad.Cmup + rad.C1down)
     hmafac = -cfg.mixed.hmadmp - rad.Bmup - rad.B1down
     dtopat = jnp.asarray(model.topo.dtopat, dtype=dtype)

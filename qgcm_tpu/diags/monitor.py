@@ -179,6 +179,7 @@ class MonitorRecord(NamedTuple):
     oradav: jnp.ndarray
     arocav: jnp.ndarray
     arlaav: jnp.ndarray
+    bflux: dict           # sb/nb_hflux boundary fluxes (ttmads etc.)
     cfl: object
 
 
@@ -200,6 +201,8 @@ def compute_monitor(model, ocean=None, atmos=None, oc_forcing=None,
     ermaso = emfroc = ermasa = emfrat = zv
     cfraoc = centoc = cfraat = centat = z
     slhfav = oradav = arocav = arlaav = z
+    bflux = {n: z for n in ("ttmads", "vfmads", "ttmdfs", "ttmadn",
+                            "vfmadn", "ttmdfn")}
 
     if ocean is not None and oc_forcing is not None:
         if cfg.no_oml:
@@ -209,6 +212,9 @@ def compute_monitor(model, ocean=None, atmos=None, oc_forcing=None,
             _omlout = _oml(model, ocean, oc_forcing)
             entoc = _omlout[2]
             cfraoc, centoc = _omlout[6], _omlout[7]
+        if cfg.sb_hflux or cfg.nb_hflux:
+            from ..models.ocean import boundary_flux_diags
+            bflux = boundary_flux_diags(model, ocean, oc_forcing)
         gp = jnp.asarray(cfg.ocean.gpoc, dtype)
         hoc = jnp.asarray(cfg.ocean.hoc, dtype)
         mon_oc, btdg = _fluid_monitor(
@@ -276,7 +282,7 @@ def compute_monitor(model, ocean=None, atmos=None, oc_forcing=None,
         ermaso=ermaso, emfroc=emfroc, ermasa=ermasa, emfrat=emfrat,
         cfraoc=cfraoc, centoc=centoc, cfraat=cfraat, centat=centat,
         slhfav=slhfav, oradav=oradav, arocav=arocav, arlaav=arlaav,
-        cfl=cfl)
+        bflux=bflux, cfl=cfl)
 
 
 # ----------------------------------------------------------------------
@@ -290,7 +296,8 @@ _OC_VECNI = ["ddtpeoc", "etamoc", "et2moc", "ermaso", "emfroc"]
 _OC_SCAL = ["pkenoc", "utauoc", "btdgoc", "occtot", "hfmloc", "wetmoc",
             "watmoc", "wepmoc", "wapmoc", "entmoc", "enamoc", "tmlmoc",
             "sstmin", "sstmax", "cnqgoc", "cnmloc", "cfraoc", "centoc",
-            "umminoc", "ummaxoc", "vmminoc", "vmmaxoc"]
+            "umminoc", "ummaxoc", "vmminoc", "vmmaxoc",
+            "ttmads", "vfmads", "ttmdfs", "ttmadn", "vfmadn", "ttmdfn"]
 _AT_VECNL = ["kealat", "ddtkeat", "ah4dat", "pavgat", "qavgat",
              "ugminat", "ugmaxat", "vgminat", "vgmaxat"]
 _AT_VECNI = ["ddtpeat", "etamat", "et2mat", "ermasa", "emfrat"]
@@ -351,7 +358,8 @@ class MonitorWriter:
                 ugminoc=rec.cfl.ugminoc_s, ugmaxoc=rec.cfl.ugmaxoc_s,
                 vgminoc=rec.cfl.vgminoc_s, vgmaxoc=rec.cfl.vgmaxoc_s,
                 umminoc=rec.cfl.umminoc, ummaxoc=rec.cfl.ummaxoc,
-                vmminoc=rec.cfl.vmminoc, vmmaxoc=rec.cfl.vmmaxoc)
+                vmminoc=rec.cfl.vmminoc, vmmaxoc=rec.cfl.vmmaxoc,
+                **rec.bflux)
             for n, v in vals.items():
                 w.append(n, r, np.asarray(v))
         m = rec.at

@@ -144,6 +144,39 @@ def _entrain_to_p(xfo: jnp.ndarray, cyclic: bool) -> jnp.ndarray:
     return 0.25 * (xp[:-1, :-1] + xp[:-1, 1:] + xp[1:, :-1] + xp[1:, 1:])
 
 
+def boundary_flux_diags(model: Model, state: OceanState,
+                        forcing: OceanForcing):
+    """Mean advective/diffusive SST fluxes through the modified
+    sb_hflux / nb_hflux boundaries and the mean Ekman outflow velocity
+    (monitoring section of omladf, src/omlsubs.F:684-727; +ve into the
+    domain). Zeros when the modified conditions are inactive."""
+    cfg = model.cfg
+    g = model.grids
+    dtype = state.sst.dtype
+    z = jnp.zeros((), dtype)
+    ttmads = vfmads = ttmdfs = ttmadn = vfmadn = ttmdfn = z
+    rhf0hm = 0.5 / (cfg.fnot * cfg.mixed.hmoc)
+    hdxom1 = 0.5 / g.dxo
+    d2tfac = cfg.mixed.st2d / g.dxo**2
+    nxto = cfg.nxto
+    if cfg.sb_hflux:
+        tsbdy = model.rad.tsbdy
+        vm = -rhf0hm * (forcing.tauxo[0, 1:] + forcing.tauxo[0, :-1])
+        tm = state.sst[0, :] + tsbdy
+        ttmads = hdxom1 * jnp.sum(vm * tm) / nxto
+        vfmads = jnp.sum(vm) / nxto
+        ttmdfs = -d2tfac * jnp.sum(state.sstm[0, :] - tsbdy) / nxto
+    if cfg.nb_hflux:
+        tnbdy = model.rad.tnbdy
+        vp = -rhf0hm * (forcing.tauxo[-1, 1:] + forcing.tauxo[-1, :-1])
+        tp = state.sst[-1, :] + tnbdy
+        ttmadn = -hdxom1 * jnp.sum(vp * tp) / nxto
+        vfmadn = -jnp.sum(vp) / nxto
+        ttmdfn = d2tfac * jnp.sum(tnbdy - state.sstm[-1, :]) / nxto
+    return dict(ttmads=ttmads, vfmads=vfmads, ttmdfs=ttmdfs,
+                ttmadn=ttmadn, vfmadn=vfmadn, ttmdfn=ttmdfn)
+
+
 def _oml(model: Model, state: OceanState, forcing: OceanForcing):
     """Step the ocean mixed layer (oml, src/omlsubs.F:47-236).
     Returns (sst_new, sstm_new, entoc, xon1, enis1, enin1, conv diags).

@@ -141,3 +141,25 @@ def test_xforc_stress_integrals_consistent(model):
     lhs = g.dxa * g.dya * inner
     rhs = (float(afor.txisat) - float(afor.txinat)) / cfg.fnot
     assert np.isclose(lhs, rhs, rtol=2e-2)
+
+
+def test_float32_dtype_purity():
+    """A float32 coupled step must not promote any field to float64
+    (x64 is globally enabled for CPU parity, so any strong-typed NumPy
+    scalar in the forcing/step pipeline would silently poison the TPU
+    production path)."""
+    m = _model(dtype="float32")
+    from qgcm_tpu.models.atmos import make_atmos_step
+    from qgcm_tpu.models.ocean import make_ocean_step
+    oc = init_ocean_state(m, init="rbal")
+    at = init_atmos_state(m, init="rbal")
+    ofor, afor, _ = make_xforc(m)(at.pam, oc.pom, oc.sstm,
+                                  at.astm, at.hmixam)
+    for tree, label in ((ofor, "ofor"), (afor, "afor")):
+        for name, v in zip(tree._fields, tree):
+            assert v.dtype == np.float32, f"{label}.{name} {v.dtype}"
+    oc2, _ = make_ocean_step(m)(oc, ofor)
+    at2, _ = make_atmos_step(m)(at, afor)
+    for tree, label in ((oc2, "ocean"), (at2, "atmos")):
+        for name, v in zip(tree._fields, tree):
+            assert v.dtype == np.float32, f"{label}.{name} {v.dtype}"
