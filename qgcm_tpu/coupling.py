@@ -418,7 +418,8 @@ def make_xforc(model):
     fmafac = float(rad.Adown[0, 0]) * 0.25 / cfg.atmos.gpat[0]
     fmatop = 0.25 * (rad.Cmup + rad.C1down)
     hmafac = -cfg.mixed.hmadmp - rad.Bmup - rad.B1down
-    dtopat = jnp.asarray(model.topo.dtopat, dtype=dtype)
+    dtopat_flat = not model.topo.dtopat.any()
+    dtopat = model.topo.dtopat_or_scalar(dtype)
 
     xlamda = cfg.mixed.xlamda
 
@@ -553,8 +554,11 @@ def make_xforc(model):
         dp12 = pam[0] - pam[1]
         four = (dp12[:-1, :-1] + dp12[:-1, 1:]
                 + dp12[1:, :-1] + dp12[1:, 1:])
-        fourt = (dtopat[:-1, :-1] + dtopat[:-1, 1:]
-                 + dtopat[1:, :-1] + dtopat[1:, 1:])
+        if dtopat_flat:
+            fourt = 0.0
+        else:
+            fourt = (dtopat[:-1, :-1] + dtopat[:-1, 1:]
+                     + dtopat[1:, :-1] + dtopat[1:, 1:])
         fnetat = (fnetat - fmafac * four - fmatop * fourt
                   + hmafac * (hmixam - hmat))
 

@@ -34,8 +34,8 @@ from .solver.helmholtz import (
 class OceanInversion:
     """Static data for the oceanic PV inversion (ocinvq)."""
     helm: object                     # Box/CyclicHelmholtz over nlo modes
-    # box case (conhoms.F:544-641)
-    ochom: Optional[jnp.ndarray]     # (nlo-1, nypo, nxpo) homog. solutions
+    # box case (conhoms.F:544-641); the homogeneous-solution FIELD is
+    # never stored -- the step applies it spectrally (models/ocean.py)
     cdiffo: Optional[jnp.ndarray]    # (nlo, nlo-1)
     cdhinv: Optional[jnp.ndarray]    # (nlo-1, nlo-1) inverse of cdhoc
     # cyclic case (conhoms.F:376-543)
@@ -181,7 +181,7 @@ def _build_ocean_inversion(cfg: ModelConfig, grids: Grids,
             helm, nypo, nxpo, grids.ypo, modes.rdm2, dxo, dyo, wop,
             cfg.ocnorm, True)
         return OceanInversion(
-            helm=helm, ochom=None, cdiffo=None, cdhinv=None,
+            helm=helm, cdiffo=None, cdhinv=None,
             pbhoc=jnp.asarray(pbh, dtype=dtype),
             pch1oc=jnp.asarray(pch1, dtype=dtype),
             pch2oc=jnp.asarray(pch2, dtype=dtype),
@@ -212,7 +212,6 @@ def _build_ocean_inversion(cfg: ModelConfig, grids: Grids,
     cdhinv = np.linalg.inv(cdhoc)
     return OceanInversion(
         helm=helm,
-        ochom=jnp.asarray(ochom, dtype=dtype),
         cdiffo=jnp.asarray(cdiffo, dtype=dtype),
         cdhinv=jnp.asarray(cdhinv, dtype=dtype),
         pbhoc=None, pch1oc=None, pch2oc=None, hbsioc=None,

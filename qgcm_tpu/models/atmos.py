@@ -164,10 +164,9 @@ def _aml(model: Model, state: AtmosState, forcing: AtmosForcing):
     delpm = state.pam[:-1] - state.pam[1:]          # (nla-1, nypa, nxpa)
     entat = entat + jnp.einsum("l,lyx->yx", afacdp, delpm,
                                precision="highest")
-    entat = entat + cface * jnp.asarray(model.topo.dtopat,
-                                        dtype=entat.dtype)
+    entat = entat + cface * model.topo.dtopat_or_scalar(entat.dtype)
 
-    xan1 = xintp(entat, model.wap) * g.dxa * g.dya
+    xan1 = xintp(entat) * g.dxa * g.dya
     enis1 = g.dxa * _line_sum_p(entat[0, :])
     enin1 = g.dxa * _line_sum_p(entat[-1, :])
     return (astnew, state.ast, hnew, state.hmixa, entat, xan1,
@@ -253,7 +252,7 @@ def _atinvq(model: Model, state: AtmosState, qa_new: jnp.ndarray,
     cm2l = jnp.asarray(model.modes_at.cm2l, dtype=dtype)
     gpat = jnp.asarray(cfg.atmos.gpat, dtype=dtype)
     hat = jnp.asarray(cfg.atmos.hat, dtype=dtype)
-    ddyn = jnp.asarray(model.topo.ddynat, dtype=dtype)
+    ddyn = model.topo.ddynat_or_scalar(dtype)
     betay = (cfg.beta * jnp.asarray(g.yparel, dtype=dtype))[None, :, None]
 
     kb = jnp.eye(nla, dtype=dtype)[0][:, None, None]
@@ -262,7 +261,7 @@ def _atinvq(model: Model, state: AtmosState, qa_new: jnp.ndarray,
                                 precision="highest")
 
     sol = inv.helm.solve(wrk)
-    xinhom = xintp(sol, model.wap) * g.dxa * g.dya
+    xinhom = xintp(sol) * g.dxa * g.dya
 
     ecrita = 1.0e-13
     entfac = 0.5 * g.dya * cfg.fnot**2
@@ -329,7 +328,7 @@ def make_atmos_step(model: Model):
     dxam2 = 1.0 / model.grids.dxa**2
     amat = jnp.asarray(model.modes_at.amat, dtype=dtype)
     yparel = jnp.asarray(model.grids.yparel, dtype=dtype)
-    ddyn = jnp.asarray(model.topo.ddynat, dtype=dtype)
+    ddyn = model.topo.ddynat_or_scalar(dtype)
 
     def step(state: AtmosState, forcing: AtmosForcing):
         (ast_new, astm_new, hmixa_new, hmixam_new, entat, xan1,
@@ -405,7 +404,7 @@ def init_atmos_state(model: Model, init: str = "rbal",
 
     amat = jnp.asarray(model.modes_at.amat, dtype=dtype)
     yparel = jnp.asarray(g.yparel, dtype=dtype)
-    ddyn = jnp.asarray(model.topo.ddynat, dtype=dtype)
+    ddyn = model.topo.ddynat_or_scalar(dtype)
     dxam2 = 1.0 / g.dxa**2
 
     def q_from_p(p):
@@ -419,8 +418,8 @@ def init_atmos_state(model: Model, init: str = "rbal",
 
     # constr (conhoms.F:203-310)
     area = g.dxa * g.dya
-    dpiat = xintp(pa[:-1] - pa[1:], model.wap) * area
-    dpiatp = xintp(pam[:-1] - pam[1:], model.wap) * area
+    dpiat = xintp(pa[:-1] - pa[1:]) * area
+    dpiatp = xintp(pam[:-1] - pam[1:]) * area
 
     fsq = 0.5 * g.dya * cfg.fnot**2
 

@@ -210,7 +210,7 @@ def _oml(model: Model, state: OceanState, forcing: OceanForcing):
     xfo = xfo - jnp.sum(xfo) * cfg.ocnorm
 
     entoc = _entrain_to_p(xfo, cfg.cyclic_ocean)
-    xon1 = xintp(entoc, model.wop) * model.grids.dxo * model.grids.dyo
+    xon1 = xintp(entoc) * model.grids.dxo * model.grids.dyo
 
     # Boundary entrainment integrals for cyclic momentum constraints
     enis1 = model.grids.dxo * _line_sum_p(entoc[0, :])
@@ -438,7 +438,7 @@ def _ocinvq(model: Model, state: OceanState, qo_new: jnp.ndarray,
     cm2l = jnp.asarray(model.modes_oc.cm2l, dtype=dtype)   # (k, m)
     gpoc = jnp.asarray(cfg.ocean.gpoc, dtype=dtype)
     hoc = jnp.asarray(cfg.ocean.hoc, dtype=dtype)
-    ddyn = jnp.asarray(model.topo.ddynoc, dtype=dtype)
+    ddyn = model.topo.ddynoc_or_scalar(dtype)
     betay = (cfg.beta * jnp.asarray(g.yporel, dtype=dtype))[None, :, None]
 
     # Modal vorticity RHS (8.13): wrk_m = f0 * sum_k cl2m[m,k] (q_k - by)
@@ -447,13 +447,12 @@ def _ocinvq(model: Model, state: OceanState, qo_new: jnp.ndarray,
     wrk = cfg.fnot * jnp.einsum("mk,kyx->myx", cl2m, ql,
                                 precision="highest")
 
-    # Solve the modified Helmholtz problem for each mode (batched)
-    sol = inv.helm.solve(wrk)
-    xinhom = xintp(sol, model.wop) * g.dxo * g.dyo     # (nlo,)
-
     ecrito = 1.0e-13
 
     if cfg.cyclic_ocean:
+        # Solve the modified Helmholtz problem for each mode (batched)
+        sol = inv.helm.solve(wrk)
+        xinhom = xintp(sol) * g.dxo * g.dyo     # (nlo,)
         # --- momentum + mass constraints (ocisubs.F:169-327) ---
         entfac = 0.5 * g.dyo * cfg.fnot**2
         enis = jnp.zeros(nlo - 1, dtype=dtype).at[0].set(enis1)
@@ -519,6 +518,20 @@ def _ocinvq(model: Model, state: OceanState, qo_new: jnp.ndarray,
                 ermaso, emfroc)
 
     # --- box: mass constraint only (ocisubs.F:328-401) ---
+    # Everything stays in spectral space until one inverse transform:
+    # the inhomogeneous-solution area integrals come from a Parseval
+    # contraction with the DST of the ones vector (sol vanishes on the
+    # boundary, so the trapezoid weights reduce to interior ones), and
+    # the homogeneous correction hclco*ochom, ochom = 1 + rdm2*sol0
+    # with Helm(sol0) = 1, is added as a separable spectrum -- the
+    # reference's precomputed ochom FIELD (conhoms.F:544-641) would be
+    # a grid-sized constant baked into the compiled program.
+    helm = inv.helm
+    spec = helm.solve_spec(wrk)
+    xinhom = helm.norm * jnp.einsum(
+        "myx,y,x->m", spec, helm.gy, helm.gx,
+        precision="highest") * g.dxo * g.dyo
+
     aient = jnp.zeros(nlo - 1, dtype=dtype).at[0].set(xon1)
     dpioc_new = state.dpiocp - tdto * gpoc * aient
     dpiocp_new = state.dpioc
@@ -526,9 +539,12 @@ def _ocinvq(model: Model, state: OceanState, qo_new: jnp.ndarray,
     rhs = dpioc_new - rhsum
     hclco = inv.cdhinv @ rhs
 
-    modal_cor = jnp.pad(hclco[:, None, None] * inv.ochom,
-                        [(1, 0), (0, 0), (0, 0)])
-    pm = sol + modal_cor
+    zero1 = jnp.zeros((1,), dtype)
+    coef = jnp.concatenate([zero1, hclco * helm.rdm2[1:]])
+    gyx = helm.gy[None, :, None] * helm.gx[None, None, :]
+    spec = spec + coef[:, None, None] * gyx / helm._denom()
+    pm = helm.inverse(spec) \
+        + jnp.concatenate([zero1, hclco])[:, None, None]
     po_new = jnp.einsum("km,myx->kyx", cm2l, pm, precision="highest")
     zero = jnp.zeros(nlo - 1, dtype=dtype)
     return (po_new, state.po, dpioc_new, dpiocp_new,
@@ -549,7 +565,7 @@ def make_ocean_step(model: Model):
     dxom2 = 1.0 / g.dxo**2
     amat = jnp.asarray(model.modes_oc.amat, dtype=dtype)
     yporel = jnp.asarray(g.yporel, dtype=dtype)
-    ddyn = jnp.asarray(model.topo.ddynoc, dtype=dtype)
+    ddyn = model.topo.ddynoc_or_scalar(dtype)
 
     def step(state: OceanState, forcing: OceanForcing):
         if cfg.no_oml:
@@ -612,7 +628,7 @@ def init_ocean_state(model: Model, init: str = "zero",
 
     amat = jnp.asarray(model.modes_oc.amat, dtype=dtype)
     yporel = jnp.asarray(model.grids.yporel, dtype=dtype)
-    ddyn = jnp.asarray(model.topo.ddynoc, dtype=dtype)
+    ddyn = model.topo.ddynoc_or_scalar(dtype)
     dxom2 = 1.0 / model.grids.dxo**2
 
     def q_from_p(p):
@@ -627,8 +643,8 @@ def init_ocean_state(model: Model, init: str = "zero",
     # constr (conhoms.F:93-199): mass + momentum constraint values
     g = model.grids
     area = g.dxo * g.dyo
-    dpioc = xintp(po[1:] - po[:-1], model.wop) * area
-    dpiocp = xintp(pom[1:] - pom[:-1], model.wop) * area
+    dpioc = xintp(po[1:] - po[:-1]) * area
+    dpiocp = xintp(pom[1:] - pom[:-1]) * area
 
     if cfg.cyclic_ocean:
         amat_j = jnp.asarray(model.modes_oc.amat, dtype=dtype)

@@ -23,10 +23,21 @@ def xintp_weights(nyp: int, nxp: int, dtype=np.float64) -> np.ndarray:
     return w
 
 
-def xintp(field: jnp.ndarray, weights: jnp.ndarray) -> jnp.ndarray:
-    """Weighted p-grid sum over the last two axes (multiply by dx*dy for
-    the physical area integral, as call sites in the reference do)."""
-    return jnp.sum(field * weights, axis=(-2, -1))
+def xintp(field: jnp.ndarray, weights=None) -> jnp.ndarray:
+    """Trapezoidal p-grid sum over the last two axes (multiply by dx*dy
+    for the physical area integral, as call sites in the reference do).
+    Computed from slices -- a full-grid weight mask would be baked into
+    compiled programs as a field-sized constant."""
+    if weights is not None:
+        return jnp.sum(field * weights, axis=(-2, -1))
+    inner = jnp.sum(field[..., 1:-1, 1:-1], axis=(-2, -1))
+    edges = 0.5 * (jnp.sum(field[..., 0, 1:-1], axis=-1)
+                   + jnp.sum(field[..., -1, 1:-1], axis=-1)
+                   + jnp.sum(field[..., 1:-1, 0], axis=-1)
+                   + jnp.sum(field[..., 1:-1, -1], axis=-1))
+    corners = 0.25 * (field[..., 0, 0] + field[..., 0, -1]
+                      + field[..., -1, 0] + field[..., -1, -1])
+    return inner + edges + corners
 
 
 def xintt(field: jnp.ndarray) -> jnp.ndarray:

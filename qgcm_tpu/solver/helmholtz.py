@@ -106,17 +106,37 @@ class BoxHelmholtz:
 
     nxp: int
     nyp: int
-    denom_inv: jnp.ndarray   # (nm, nyp-2, nxp-2) inverse eigenvalues
+    lamx: jnp.ndarray        # (nxp-2,) x-eigenvalues
+    lamy: jnp.ndarray        # (nyp-2,)
+    rdm2: jnp.ndarray        # (nm,)
+    gx: jnp.ndarray          # (nxp-2,) DST of the ones vector
+    gy: jnp.ndarray          # (nyp-2,)
     norm: float              # combined inverse-transform normalisation
     denom_inv_np: np.ndarray = None   # float64 host copy (init-time solves)
 
+    # The spectral denominators are recomputed on the fly from the O(N)
+    # eigenvalue vectors: a (nm, ny, nx) closure constant would be
+    # embedded in the compiled program (hundreds of MB at NAtl.1km
+    # scale, which also overflows remote-compile payload limits).
+    def _denom(self):
+        return (self.lamx[None, None, :] + self.lamy[None, :, None]
+                - self.rdm2[:, None, None])
+
+    def forward(self, rhs: jnp.ndarray) -> jnp.ndarray:
+        """Interior 2-D DST of a p-grid field."""
+        return dst1(dst1(rhs[..., 1:-1, 1:-1], axis=-1), axis=-2)
+
+    def inverse(self, spec: jnp.ndarray) -> jnp.ndarray:
+        sol = dst1(dst1(spec, axis=-1), axis=-2) * self.norm
+        return jnp.pad(sol, [(0, 0)] * (spec.ndim - 2) + [(1, 1), (1, 1)])
+
+    def solve_spec(self, rhs: jnp.ndarray) -> jnp.ndarray:
+        """Forward transform + denominator division (no inverse)."""
+        return self.forward(rhs) / self._denom()
+
     def solve(self, rhs: jnp.ndarray) -> jnp.ndarray:
         """rhs: (nm, nyp, nxp); returns solution with zero boundaries."""
-        interior = rhs[..., 1:-1, 1:-1]
-        spec = dst1(dst1(interior, axis=-1), axis=-2)
-        spec = spec * self.denom_inv
-        sol = dst1(dst1(spec, axis=-1), axis=-2) * self.norm
-        return jnp.pad(sol, [(0, 0)] * (rhs.ndim - 2) + [(1, 1), (1, 1)])
+        return self.inverse(self.solve_spec(rhs))
 
     def solve_np(self, rhs: np.ndarray) -> np.ndarray:
         """Host-side float64 solve (model initialisation only)."""
@@ -139,18 +159,28 @@ class CyclicHelmholtz:
 
     nxp: int
     nyp: int
-    denom_inv: jnp.ndarray   # (nm, nyp-2, nx//2+1)
+    lamx: jnp.ndarray        # (nx//2+1,) rfft eigenvalues
+    lamy: jnp.ndarray        # (nyp-2,)
+    rdm2: jnp.ndarray        # (nm,)
     norm: float
     denom_inv_np: np.ndarray = None   # float64 host copy (init-time solves)
 
+    def _denom(self):
+        return (self.lamx[None, None, :] + self.lamy[None, :, None]
+                - self.rdm2[:, None, None])
+
     def solve(self, rhs: jnp.ndarray) -> jnp.ndarray:
+        # The x-RFFT and y-DST commute; doing the DST on the REAL field
+        # before/after the complex x-transform needs 2 real sine
+        # transforms instead of 4 on split real/imag parts (measured
+        # ~3x on the 4608x576 southern-ocean channel).
         nx = self.nxp - 1
         interior = rhs[..., 1:-1, :nx]
-        spec = jnp.fft.rfft(interior, axis=-1)
-        spec = dst1(spec.real, axis=-2) + 1j * dst1(spec.imag, axis=-2)
-        spec = spec * self.denom_inv
-        spec = dst1(spec.real, axis=-2) + 1j * dst1(spec.imag, axis=-2)
-        sol = jnp.fft.irfft(spec, n=nx, axis=-1).astype(rhs.dtype) * self.norm
+        sy = dst1(interior, axis=-2)
+        spec = jnp.fft.rfft(sy, axis=-1)
+        spec = spec / self._denom()
+        sy = jnp.fft.irfft(spec, n=nx, axis=-1).astype(rhs.dtype)
+        sol = dst1(sy, axis=-2) * self.norm
         sol = jnp.concatenate([sol, sol[..., :1]], axis=-1)
         return jnp.pad(sol, [(0, 0)] * (rhs.ndim - 2) + [(1, 1), (0, 0)])
 
@@ -179,8 +209,15 @@ def make_box_helmholtz(nxp: int, nyp: int, dx: float, dy: float,
     denom = (lamx[None, None, :] + lamy[None, :, None]
              - np.asarray(rdm2)[:, None, None])
     norm = 1.0 / (2.0 * nx) / (2.0 * ny)
+    # DST-I of the ones vector: g[k] = 2 sum_j sin(pi j k/(N+1))
+    gx = dst1_np(np.ones((1, nx - 1)))[0]
+    gy = dst1_np(np.ones((1, ny - 1)))[0]
     return BoxHelmholtz(nxp=nxp, nyp=nyp,
-                        denom_inv=jnp.asarray(1.0 / denom, dtype=dtype),
+                        lamx=jnp.asarray(lamx, dtype=dtype),
+                        lamy=jnp.asarray(lamy, dtype=dtype),
+                        rdm2=jnp.asarray(np.asarray(rdm2), dtype=dtype),
+                        gx=jnp.asarray(gx, dtype=dtype),
+                        gy=jnp.asarray(gy, dtype=dtype),
                         norm=norm, denom_inv_np=1.0 / denom)
 
 
@@ -196,5 +233,7 @@ def make_cyclic_helmholtz(nxp: int, nyp: int, dx: float, dy: float,
              - np.asarray(rdm2)[:, None, None])
     norm = 1.0 / (2.0 * ny)                    # rfft/irfft self-normalising
     return CyclicHelmholtz(nxp=nxp, nyp=nyp,
-                           denom_inv=jnp.asarray(1.0 / denom, dtype=dtype),
+                           lamx=jnp.asarray(lamx, dtype=dtype),
+                           lamy=jnp.asarray(lamy, dtype=dtype),
+                           rdm2=jnp.asarray(np.asarray(rdm2), dtype=dtype),
                            norm=norm, denom_inv_np=1.0 / denom)

@@ -37,6 +37,26 @@ class Topography:
     ddynat: np.ndarray
     davgat: float
 
+    def ddynoc_or_scalar(self, dtype):
+        """Scalar zero when flat: a grid of literal zeros would be
+        serialized into every compiled program."""
+        import jax.numpy as jnp
+        if not self.dtopoc.any():
+            return jnp.zeros((), dtype)
+        return jnp.asarray(self.ddynoc, dtype)
+
+    def ddynat_or_scalar(self, dtype):
+        import jax.numpy as jnp
+        if not self.dtopat.any():
+            return jnp.zeros((), dtype)
+        return jnp.asarray(self.ddynat, dtype)
+
+    def dtopat_or_scalar(self, dtype):
+        import jax.numpy as jnp
+        if not self.dtopat.any():
+            return jnp.zeros((), dtype)
+        return jnp.asarray(self.dtopat, dtype)
+
 
 def _ocean_define(cfg: ModelConfig, grids: Grids) -> np.ndarray:
     """Mid-Atlantic ridge test feature (topsubs.F:120-133)."""
