@@ -91,37 +91,52 @@ def make_ocean_only_runner(model: Model, jit: bool = True, mesh=None):
     return run
 
 
+def _split_cycles(n_steps: int, step0, nstr: int):
+    """Validate chunk alignment for the cycle-structured runners."""
+    if n_steps % nstr:
+        raise ValueError(
+            f"n_steps ({n_steps}) must be a multiple of nstr ({nstr}) "
+            "for the coupled/atmos-only runners (the Driver's chunks "
+            "always are)")
+    return n_steps // nstr
+
+
 def make_atmos_only_runner(model: Model, jit: bool = True):
     """Atmosphere-only mode: the ocean surface is a prescribed mean SST
     field (reference q-gcm.F:752-826 reads it from avges.nc). xforc is
     re-evaluated every step-cadence nstr exactly as when coupled.
 
     Returns run(state, sst_mean, n_steps, step0=0) -> state.
+    n_steps must be a multiple of nstr: the time loop is structured as
+    coupling CYCLES (forcing refresh + nstr atmos steps) rather than
+    per-step `lax.cond` dispatch -- a conditional wrapping the forcing
+    computation measured ~100x slower on TPU than the branchless form.
     """
     from ..coupling import make_xforc
     xforc = make_xforc(model)
     step = make_atmos_step(model)
     nstr = model.cfg.nstr
 
-    def forcing_of(at: AtmosState, sst_mean):
-        _, afor, _ = xforc(at.pam, None, sst_mean, at.astm, at.hmixam)
-        return afor
-
     def run(state: AtmosState, sst_mean, n_steps: int, step0=0):
-        def body(carry, _):
-            at, afor, n = carry
-            afor = jax.lax.cond(n % nstr == 0,
-                                lambda a: forcing_of(a, sst_mean),
-                                lambda a: afor, at)
-            at, _diags = step(at, afor)
-            at = jax.lax.cond(n % ATMOS_AVG_PERIOD == 0,
-                              average_atmos_levels, lambda s: s, at)
-            return (at, afor, n + 1), None
+        n_cycles = _split_cycles(n_steps, step0, nstr)
+        cyc0 = jnp.asarray(step0) // nstr
 
-        afor0 = forcing_of(state, sst_mean)
-        (state, _, _), _ = jax.lax.scan(
-            body, (state, afor0, jnp.asarray(step0)), None,
-            length=n_steps)
+        def cycle(carry, _):
+            at, c = carry
+            _, afor, _ = xforc(at.pam, None, sst_mean, at.astm,
+                               at.hmixam)
+
+            def abody(a, i):
+                a, _diags = step(a, afor)
+                a = jax.lax.cond((c * nstr + i) % ATMOS_AVG_PERIOD == 0,
+                                 average_atmos_levels, lambda s: s, a)
+                return a, None
+
+            at, _ = jax.lax.scan(abody, at, jnp.arange(nstr))
+            return (at, c + 1), None
+
+        (state, _), _ = jax.lax.scan(cycle, (state, cyc0), None,
+                                     length=n_cycles)
         return state
 
     if jit:
@@ -147,34 +162,35 @@ def make_coupled_runner(model: Model, jit: bool = True, mesh=None):
     if mesh is not None:
         from ..parallel.mesh import constrain_tree
 
-    def couple(carry):
-        oc, at, ofor, afor = carry
-        ofor_new, afor_new, _xdiags = xforc(
-            at.pam, oc.pom, oc.sstm, at.astm, at.hmixam)
-        oc_new, _odiags = ostep(oc, ofor_new)
-        return oc_new, ofor_new, afor_new
-
     def run(ocean: OceanState, atmos: AtmosState, n_steps: int, step0=0):
-        def body(carry, _):
-            oc, at, ofor, afor, n = carry
+        n_cycles = _split_cycles(n_steps, step0, nstr)
+        cyc0 = jnp.asarray(step0) // nstr
+
+        # Time loop structured as coupling CYCLES (xforc + one ocean
+        # substep + nstr atmos steps) -- branchless; wrapping the
+        # coupling in a per-step lax.cond measured ~100x slower on TPU.
+        def cycle(carry, _):
+            oc, at, c = carry
             if mesh is not None:
                 oc = constrain_tree(oc, mesh)
                 at = constrain_tree(at, mesh)
-            oc, ofor, afor = jax.lax.cond(
-                n % nstr == 0, couple,
-                lambda c: (c[0], c[2], c[3]), (oc, at, ofor, afor))
-            oc = jax.lax.cond(n % (OCEAN_AVG_PERIOD * nstr) == 0,
+            ofor, afor, _xdiags = xforc(at.pam, oc.pom, oc.sstm,
+                                        at.astm, at.hmixam)
+            oc, _odiags = ostep(oc, ofor)
+            oc = jax.lax.cond(c % OCEAN_AVG_PERIOD == 0,
                               average_ocean_levels, lambda s: s, oc)
-            at, _adiags = astep(at, afor)
-            at = jax.lax.cond(n % ATMOS_AVG_PERIOD == 0,
-                              average_atmos_levels, lambda s: s, at)
-            return (oc, at, ofor, afor, n + 1), None
 
-        ofor0, afor0, _ = xforc(atmos.pam, ocean.pom, ocean.sstm,
-                                atmos.astm, atmos.hmixam)
-        (ocean, atmos, _, _, _), _ = jax.lax.scan(
-            body, (ocean, atmos, ofor0, afor0, jnp.asarray(step0)),
-            None, length=n_steps)
+            def abody(a, i):
+                a, _adiags = astep(a, afor)
+                a = jax.lax.cond((c * nstr + i) % ATMOS_AVG_PERIOD == 0,
+                                 average_atmos_levels, lambda s: s, a)
+                return a, None
+
+            at, _ = jax.lax.scan(abody, at, jnp.arange(nstr))
+            return (oc, at, c + 1), None
+
+        (ocean, atmos, _), _ = jax.lax.scan(
+            cycle, (ocean, atmos, cyc0), None, length=n_cycles)
         return ocean, atmos
 
     if jit:

@@ -134,52 +134,48 @@ class Driver:
             xforc = make_xforc(model)
 
         def chunk_fn(carry, n_steps, step0):
-            def body(c, _):
-                oc, at, ofor, afor, oacc, aacc, n = c
+            # Branchless cycle structure (xforc + ocean substep + nstr
+            # atmos steps): a per-step lax.cond around the coupling
+            # measured ~100x slower on TPU.
+            n_cycles = n_steps // nstr
+
+            def cycle(c_carry, _):
+                oc, at, ofor, afor, oacc, aacc, c = c_carry
                 if has_at and has_oc:        # coupled
-                    def couple(args):
-                        oc, at, ofor, afor, oacc = args
-                        ofor2, afor2, _ = xforc(at.pam, oc.pom, oc.sstm,
-                                                at.astm, at.hmixam)
-                        oc2, _ = ostep(oc, ofor2)
-                        oacc2 = accumulate_ocean(oacc, oc2, ofor2,
-                                                 dxo, fnot)
-                        return oc2, ofor2, afor2, oacc2
-
-                    oc, ofor, afor, oacc = jax.lax.cond(
-                        n % nstr == 0, couple,
-                        lambda a: (a[0], a[2], a[3], a[4]),
-                        (oc, at, ofor, afor, oacc))
-                elif has_oc:                 # ocean only
-                    def osub(args):
-                        oc, oacc = args
-                        oc2, _ = ostep(oc, ofor)
-                        return oc2, accumulate_ocean(oacc, oc2, ofor,
-                                                     dxo, fnot)
-                    oc, oacc = jax.lax.cond(
-                        n % nstr == 0, osub, lambda a: a, (oc, oacc))
+                    ofor, afor, _ = xforc(at.pam, oc.pom, oc.sstm,
+                                          at.astm, at.hmixam)
+                    oc, _ = ostep(oc, ofor)
+                    oacc = accumulate_ocean(oacc, oc, ofor, dxo, fnot)
+                elif has_oc:                 # ocean only (static ofor)
+                    oc, _ = ostep(oc, ofor)
+                    oacc = accumulate_ocean(oacc, oc, ofor, dxo, fnot)
                 elif has_at:                 # atmos only
-                    def refresh(a):
-                        _, afor2, _ = xforc(a.pam, None, self.sst_mean,
-                                            a.astm, a.hmixam)
-                        return afor2
-                    afor = jax.lax.cond(n % nstr == 0, refresh,
-                                        lambda a: afor, at)
-
+                    _, afor, _ = xforc(at.pam, None, self.sst_mean,
+                                       at.astm, at.hmixam)
                 if has_oc:
-                    oc = jax.lax.cond(
-                        n % (OCEAN_AVG_PERIOD * nstr) == 0,
-                        average_ocean_levels, lambda s: s, oc)
+                    oc = jax.lax.cond(c % OCEAN_AVG_PERIOD == 0,
+                                      average_ocean_levels,
+                                      lambda s: s, oc)
                 if has_at:
-                    at, _ = astep(at, afor)
-                    at = jax.lax.cond(n % ATMOS_AVG_PERIOD == 0,
-                                      average_atmos_levels,
-                                      lambda s: s, at)
-                    aacc = accumulate_atmos(aacc, at, afor)
-                return (oc, at, ofor, afor, oacc, aacc, n + 1), None
+                    def abody(carry2, i):
+                        at2, aacc2 = carry2
+                        at2, _ = astep(at2, afor)
+                        at2 = jax.lax.cond(
+                            (c * nstr + i) % ATMOS_AVG_PERIOD == 0,
+                            average_atmos_levels, lambda s: s, at2)
+                        aacc2 = accumulate_atmos(aacc2, at2, afor)
+                        return (at2, aacc2), None
+                    (at, aacc), _ = jax.lax.scan(
+                        abody, (at, aacc), jnp.arange(nstr))
+                return (oc, at, ofor, afor, oacc, aacc, c + 1), None
 
-            (out, _) = jax.lax.scan(body, carry, None, length=n_steps)
-            return out
+            oc, at, ofor, afor, oacc, aacc, n = carry
+            c0 = n // nstr
+            (out, _) = jax.lax.scan(
+                cycle, (oc, at, ofor, afor, oacc, aacc, c0), None,
+                length=n_cycles)
+            oc, at, ofor, afor, oacc, aacc, c = out
+            return (oc, at, ofor, afor, oacc, aacc, c * nstr)
 
         self._chunk_fn = jax.jit(chunk_fn, static_argnames=("n_steps",))
         self._xforc = jax.jit(xforc) if has_at else None

@@ -28,7 +28,7 @@ def setup():
     oc = init_ocean_state(model, init="rbal")
     at = init_atmos_state(model, init="rbal")
     run = make_coupled_runner(model)
-    oc2, at2 = run(oc, at, 50)
+    oc2, at2 = run(oc, at, 51)
     return model, oc2, at2
 
 
