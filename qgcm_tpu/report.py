@@ -107,6 +107,41 @@ def startup_report(model) -> str:
     return "\n".join(L)
 
 
+def memory_report(model) -> str:
+    """Static memory estimate (memreq, q-gcm.F:143,2444-2934): bytes
+    per stepped field and the total device-resident state/forcing
+    footprint at the configured dtype."""
+    cfg = model.cfg
+    esz = 4 if cfg.dtype == "float32" else 8
+    items = []
+    tot = 0
+
+    def add(name, n):
+        nonlocal tot
+        b = n * esz
+        tot += b
+        items.append((name, b))
+
+    if not cfg.atmos_only:
+        npo = cfg.nxpo * cfg.nypo
+        nto = cfg.nxto * cfg.nyto
+        add("po/pom/qo/qom", 4 * cfg.nlo * npo)
+        add("sst/sstm", 2 * nto)
+        add("ocean forcing", 3 * npo + 2 * nto)
+    if not cfg.ocean_only:
+        npa = cfg.nxpa * cfg.nypa
+        nta = cfg.nxta * cfg.nyta
+        add("pa/pam/qa/qam", 4 * cfg.nla * npa)
+        add("ast/astm/hmixa/hmixam", 4 * nta)
+        add("atmos forcing", 3 * npa + 4 * nta)
+        add("xforc fine grid (transient)", 5 * cfg.nxpaor * cfg.nypaor)
+    L = [f"memory estimate ({cfg.dtype}):"]
+    for name, b in items:
+        L.append(f"  {name}: {b / 1e6:.1f} MB")
+    L.append(f"  total (excl. XLA workspace): {tot / 1e6:.1f} MB")
+    return "\n".join(L)
+
+
 def sample_report(model, ocean=None, atmos=None) -> str:
     """prsamp (q-gcm.F:1933-2120): print a coarse sample of the state
     for eyeballing runaway values."""

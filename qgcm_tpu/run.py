@@ -241,8 +241,10 @@ class Driver:
         step0 = round(tini * SECSYR / cfg.dta)
 
         write_matlab_params(f"{out}/input_parameters.m", p, cfg, model)
-        from .report import startup_report, sample_report
+        from .report import startup_report, sample_report, \
+            memory_report
         self._log(startup_report(model))
+        self._log(memory_report(model))
 
         osnap = (OceanSnapshots(out, model, flags=p.outfloc,
                                 stride=p.nsko)

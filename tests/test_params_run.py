@@ -177,3 +177,27 @@ def test_driver_full_diagnostics(tmp_path):
     import os as _os
     avg = sorted(_os.listdir(out + "/avg"))
     assert len(avg) >= 2
+
+
+def test_reports():
+    from qgcm_tpu.config import double_gyre_coupled, OceanConfig
+    from qgcm_tpu.model import build_model
+    from qgcm_tpu.report import (startup_report, memory_report,
+                                 sample_report, derived_parameters)
+    from qgcm_tpu.models.ocean import init_ocean_state
+    from qgcm_tpu.models.atmos import init_atmos_state
+
+    cfg = double_gyre_coupled(nxta=24, nyta=12, nxaooc=8, nyaooc=8,
+                              ndxr=4, ocean=OceanConfig(dxo=20.0e3))
+    model = build_model(cfg)
+    d = derived_parameters(model)
+    assert d["cfl_gw_oc"] < 1.0 and d["cfl_gw_at"] < 1.0
+    assert len(d["rdefoc_km"]) == cfg.nlo - 1
+    text = startup_report(model)
+    assert "deformation radii" in text and "Munk width" in text
+    mem = memory_report(model)
+    assert "total" in mem
+    oc = init_ocean_state(model, init="rbal")
+    at = init_atmos_state(model, init="rbal")
+    samp = sample_report(model, oc, at)
+    assert "po[0]" in samp and "hmixa" in samp
