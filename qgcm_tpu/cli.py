@@ -139,8 +139,18 @@ def cmd_prepare(args):
 
 def cmd_analyze(args):
     """Energy/diagnostics summary from monit.nc (the checks the Ruby
-    layer runs: KE/PE series, constraint errors, CFL)."""
+    layer runs: KE/PE series, constraint errors, CFL), plus the
+    derived-product files monit_energy.nc and sshmax_etc.nc."""
     from scipy.io import netcdf_file
+    try:
+        from .analysis import QgcmData
+        qd = QgcmData(args.outdata)
+        print("wrote", qd.write_energy())
+        if os.path.exists(os.path.join(args.outdata, "ocpo.nc")):
+            print("wrote", qd.write_sshmax())
+        qd.energy_check(verbose=True)
+    except Exception as e:
+        print(f"(derived products skipped: {e})")
 
     path = os.path.join(args.outdata, "monit.nc")
     with netcdf_file(path, "r", mmap=False) as f:

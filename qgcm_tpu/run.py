@@ -241,6 +241,9 @@ class Driver:
         step0 = round(tini * SECSYR / cfg.dta)
 
         write_matlab_params(f"{out}/input_parameters.m", p, cfg, model)
+        if model.topo.dtopoc.any() or model.topo.dtopat.any():
+            from .topo import write_topog
+            write_topog(f"{out}/topog.nc", model)
         from .report import startup_report, sample_report, \
             memory_report
         self._log(startup_report(model))

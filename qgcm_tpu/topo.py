@@ -91,6 +91,22 @@ def _load_netcdf(path: str, var: str, shape) -> np.ndarray:
                      f"expected {shape} (or its transpose)")
 
 
+def write_topog(path: str, model):
+    """topog.nc: physical + dynamic topography record (topout_nc,
+    src/topsubs.F:482-560), written when topography is active."""
+    from .io.ncdf import make_writer as NcWriter
+    cfg = model.cfg
+    t = model.topo
+    w = NcWriter(path)
+    w.dim("xpo", cfg.nxpo); w.dim("ypo", cfg.nypo)
+    w.dim("xpa", cfg.nxpa); w.dim("ypa", cfg.nypa)
+    w.var("dtopoc", "d", ("ypo", "xpo"), units="m", data=t.dtopoc)
+    w.var("ddynoc", "d", ("ypo", "xpo"), units="s^-1", data=t.ddynoc)
+    w.var("dtopat", "d", ("ypa", "xpa"), units="m", data=t.dtopat)
+    w.var("ddynat", "d", ("ypa", "xpa"), units="s^-1", data=t.ddynat)
+    w.close()
+
+
 def build_topography(cfg: ModelConfig, grids: Grids,
                      topocname: TopoSpec = "flat",
                      topatname: TopoSpec = "flat") -> Topography:

@@ -201,3 +201,62 @@ def test_reports():
     at = init_atmos_state(model, init="rbal")
     samp = sample_report(model, oc, at)
     assert "po[0]" in samp and "hmixa" in samp
+
+
+def test_driver_abort_on_blowup(tmp_path):
+    """Fail-fast path: an unstable configuration (del4 coefficient far
+    above the stability limit) must abort on the validity scan and
+    still leave post-mortem artifacts (q-gcm.F:1278-1322 semantics)."""
+    from qgcm_tpu.config import ModelConfig, OceanConfig
+    from qgcm_tpu.run import run_case
+    from qgcm_tpu.generators import eddy_pressure, zero_forcing
+    from qgcm_tpu.model import build_model
+    from qgcm_tpu.models.ocean import init_ocean_state
+    from qgcm_tpu.models.atmos import init_atmos_state
+    from qgcm_tpu.io import save_restart
+
+    base = ModelConfig(nxta=24, nyta=24, nxaooc=24, nyaooc=12, ndxr=2,
+                       fnot=5.92e-5, beta=2.08e-11,
+                       ocean_only=True, cyclic_ocean=True)
+    p = RunParams(trun=2.0 / 365.0, dta=150.0, nstr=3, dxo=20.0e3,
+                  delek=0.0, valday=0.125, odiday=0.5, adiday=0.0,
+                  dgnday=0.0, prtday=0.0, resday=0.0, dtavoc=0.0,
+                  dtavat=0.0,
+                  ah2oc=(0.0, 0.0), ah4oc=(1e17, 1e17),   # unstable
+                  tabsoc=(287.0, 282.0), hoc=(800.0, 3.2e20),
+                  gpoc=(0.01,), name="zero")
+    cfg = params_to_config(p, base)
+    model = build_model(cfg)
+    oc = init_ocean_state(model, po=eddy_pressure(cfg))
+    at = init_atmos_state(model, init="rbal")
+    rst = str(tmp_path / "r0.nc")
+    save_restart(rst, model, oc, at, 0.0)
+    p.name = rst
+    res = run_case(p, base, str(tmp_path / "out"),
+                   mean_forcing=zero_forcing(cfg), verbose=False)
+    assert res.aborted
+    assert res.steps_done < round(p.trun * 365 * 86400 / p.dta)
+    # post-mortem snapshot written on abort
+    assert (tmp_path / "out" / "ocpo.nc").exists()
+
+
+def test_driver_atmos_only(tmp_path):
+    """Atmos-only driver over prescribed mean SST."""
+    from qgcm_tpu.config import double_gyre_coupled, OceanConfig
+    from qgcm_tpu.run import run_case
+    import numpy as np
+
+    base = double_gyre_coupled(nxta=24, nyta=12, nxaooc=8, nyaooc=8,
+                               ndxr=4, atmos_only=True,
+                               ocean=OceanConfig(dxo=20.0e3))
+    p = RunParams(trun=0.25 / 365.0, dta=180.0, nstr=3, dxo=20.0e3,
+                  valday=0.125, odiday=0.0, adiday=0.25, dgnday=0.125,
+                  prtday=0.0, resday=0.0, dtavoc=0.0, dtavat=0.25,
+                  name="rbal")
+    cfg = params_to_config(p, base)
+    sst = np.zeros((cfg.nyto, cfg.nxto))
+    res = run_case(p, base, str(tmp_path / "out"), sst_mean=sst,
+                   verbose=False)
+    assert not res.aborted
+    for f in ("monit.nc", "atpa.nc", "atast.nc", "avges.nc"):
+        assert (tmp_path / "out" / f).exists(), f
