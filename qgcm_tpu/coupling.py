@@ -320,7 +320,11 @@ def _box_mean_to_p(wektaor: jnp.ndarray, ndxr: int, nxpa: int,
     """wekpa: weighted box average of the fine T-grid Ekman velocity
     around each coarse p point (xfosubs.F:440-470). Even ndxr: plain
     ndxr x ndxr block mean; odd: half-weighted (ndxr+1)-wide box.
-    Cyclic in x, clipped (renormalised) at the N/S walls."""
+    Cyclic in x, clipped (renormalised) at the N/S walls.
+
+    Even ratios use stride-ndxr window sums directly (output-sized);
+    odd ratios need sums at two offsets per axis, via a stride-1 pass.
+    """
     half = (ndxr - 1) // 2 + 1
     odd = ndxr % 2 == 1
     # pad: x wraps (always valid), y zero-padded (invalid -> count=0)
@@ -331,6 +335,13 @@ def _box_mean_to_p(wektaor: jnp.ndarray, ndxr: int, nxpa: int,
     c = jnp.pad(cnt, ((0, 0), (half, half)), constant_values=1.0)
     c = jnp.pad(c, ((half, half), (0, 0)))
 
+    if not odd:
+        def boxs(x):
+            return jax.lax.reduce_window(
+                x, 0.0, jax.lax.add, (ndxr, ndxr), (ndxr, ndxr),
+                "valid")
+        return (boxs(f)[:nypa, :nxpa] / boxs(c)[:nypa, :nxpa])
+
     def box(x):
         return jax.lax.reduce_window(
             x, 0.0, jax.lax.add, (ndxr, ndxr), (1, 1), "valid")
@@ -340,8 +351,6 @@ def _box_mean_to_p(wektaor: jnp.ndarray, ndxr: int, nxpa: int,
     def sample(M, oy, ox):
         return M[oy::ndxr, ox::ndxr][:nypa, :nxpa]
 
-    if not odd:
-        return sample(B, 0, 0) / sample(C, 0, 0)
     num = 0.25 * (sample(B, 0, 0) + sample(B, 0, 1)
                   + sample(B, 1, 0) + sample(B, 1, 1))
     den = 0.25 * (sample(C, 0, 0) + sample(C, 0, 1)
