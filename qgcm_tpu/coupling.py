@@ -427,8 +427,8 @@ def make_xforc(model):
     fmafac = float(rad.Adown[0, 0]) * 0.25 / cfg.atmos.gpat[0]
     fmatop = 0.25 * (rad.Cmup + rad.C1down)
     hmafac = -cfg.mixed.hmadmp - rad.Bmup - rad.B1down
-    dtopat_flat = not model.topo.dtopat.any()
     dtopat = model.topo.dtopat_or_scalar(dtype)
+    dtopat_flat = dtopat.ndim == 0
 
     xlamda = cfg.mixed.xlamda
 

@@ -91,13 +91,15 @@ def make_ocean_only_runner(model: Model, jit: bool = True, mesh=None):
     return run
 
 
-def _split_cycles(n_steps: int, step0, nstr: int):
-    """Validate chunk alignment for the cycle-structured runners."""
+def _split_cycles(n_steps: int, nstr: int):
+    """Validate chunk alignment for the cycle-structured runners: the
+    loop advances in whole coupling cycles (the Driver aligns all its
+    cadences and chunks to nstr). step0 alignment is checked at trace
+    time by the callers where it is static."""
     if n_steps % nstr:
         raise ValueError(
             f"n_steps ({n_steps}) must be a multiple of nstr ({nstr}) "
-            "for the coupled/atmos-only runners (the Driver's chunks "
-            "always are)")
+            "for the cycle-structured coupled/atmos-only runners")
     return n_steps // nstr
 
 
@@ -118,7 +120,10 @@ def make_atmos_only_runner(model: Model, jit: bool = True):
     nstr = model.cfg.nstr
 
     def run(state: AtmosState, sst_mean, n_steps: int, step0=0):
-        n_cycles = _split_cycles(n_steps, step0, nstr)
+        n_cycles = _split_cycles(n_steps, nstr)
+        if isinstance(step0, int) and step0 % nstr:
+            raise ValueError(f"step0 ({step0}) must be a multiple of "
+                             f"nstr ({nstr})")
         cyc0 = jnp.asarray(step0) // nstr
 
         def cycle(carry, _):
@@ -163,7 +168,10 @@ def make_coupled_runner(model: Model, jit: bool = True, mesh=None):
         from ..parallel.mesh import constrain_tree
 
     def run(ocean: OceanState, atmos: AtmosState, n_steps: int, step0=0):
-        n_cycles = _split_cycles(n_steps, step0, nstr)
+        n_cycles = _split_cycles(n_steps, nstr)
+        if isinstance(step0, int) and step0 % nstr:
+            raise ValueError(f"step0 ({step0}) must be a multiple of "
+                             f"nstr ({nstr})")
         cyc0 = jnp.asarray(step0) // nstr
 
         # Time loop structured as coupling CYCLES (xforc + one ocean

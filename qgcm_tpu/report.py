@@ -128,12 +128,16 @@ def memory_report(model) -> str:
         add("po/pom/qo/qom", 4 * cfg.nlo * npo)
         add("sst/sstm", 2 * nto)
         add("ocean forcing", 3 * npo + 2 * nto)
+        add("ocean averaging accumulators", 2 * cfg.nlo * npo
+            + 3 * npo + 5 * nto)
     if not cfg.ocean_only:
         npa = cfg.nxpa * cfg.nypa
         nta = cfg.nxta * cfg.nyta
         add("pa/pam/qa/qam", 4 * cfg.nla * npa)
         add("ast/astm/hmixa/hmixam", 4 * nta)
         add("atmos forcing", 3 * npa + 4 * nta)
+        add("atmos averaging accumulators", 2 * cfg.nla * npa
+            + 3 * npa + 4 * nta)
         add("xforc fine grid (transient)", 5 * cfg.nxpaor * cfg.nypaor)
     L = [f"memory estimate ({cfg.dtype}):"]
     for name, b in items:

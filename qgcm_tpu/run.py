@@ -84,30 +84,36 @@ class Driver:
         p = params
         dta, nstr = cfg.dta, cfg.nstr
 
-        def steps(days, mult=1):
+        def steps(days):
+            """Cadence in atmos steps, rounded to a multiple of nstr:
+            the time loop advances in whole coupling cycles, so every
+            cadence (and hence their gcd, the chunk) must be
+            nstr-aligned or events would fire at misreported times."""
             if days <= 0:
                 return 0
             n = max(1, round(days * SECDAY / dta))
-            return max(mult, (n // mult) * mult)
+            return max(nstr, (n // nstr) * nstr)
 
-        self.nsteps = max(nstr, round(p.trun * SECSYR / dta))
+        self.nsteps = -(-max(1, round(p.trun * SECSYR / dta))
+                        // nstr) * nstr
         self.nvalid = steps(p.valday)
-        self.noutoc = steps(p.odiday, nstr)
+        self.noutoc = steps(p.odiday)
         self.noutat = steps(p.adiday)
         self.nmonit = steps(p.dgnday)
         self.nprint = steps(p.prtday)
         self.nrestart = steps(p.resday)
-        self.ntavoc = steps(p.dtavoc, nstr)
+        self.ntavoc = steps(p.dtavoc)
         self.ntavat = steps(p.dtavat)
-        self.ncovoc = steps(p.dtcovoc, nstr)
+        self.ncovoc = steps(p.dtcovoc)
         self.ncovat = steps(p.dtcovat)
-        self.nocavg = steps(ocavg_days, nstr)
+        self.nocavg = steps(ocavg_days)
         self.chunk = _gcd_all([
             self.nvalid, self.noutoc, self.noutat, self.nmonit,
             self.nprint, self.nrestart, self.ntavoc, self.ntavat,
             self.ncovoc, self.ncovat, self.nocavg]) \
-            or max(1, self.nvalid)
+            or max(nstr, self.nvalid)
         self.chunk = max(self.chunk, nstr)
+        assert self.chunk % nstr == 0 and self.nsteps % nstr == 0
         self.areas_limits = areas_limits
         self.qoc_diag = qoc_diag
         self.nscvoc, self.nscvat = nscvoc, nscvat

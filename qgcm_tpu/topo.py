@@ -37,25 +37,22 @@ class Topography:
     ddynat: np.ndarray
     davgat: float
 
-    def ddynoc_or_scalar(self, dtype):
+    def _or_scalar(self, field, dtype):
         """Scalar zero when flat: a grid of literal zeros would be
         serialized into every compiled program."""
         import jax.numpy as jnp
-        if not self.dtopoc.any():
+        if not field.any():
             return jnp.zeros((), dtype)
-        return jnp.asarray(self.ddynoc, dtype)
+        return jnp.asarray(field, dtype)
+
+    def ddynoc_or_scalar(self, dtype):
+        return self._or_scalar(self.ddynoc, dtype)
 
     def ddynat_or_scalar(self, dtype):
-        import jax.numpy as jnp
-        if not self.dtopat.any():
-            return jnp.zeros((), dtype)
-        return jnp.asarray(self.ddynat, dtype)
+        return self._or_scalar(self.ddynat, dtype)
 
     def dtopat_or_scalar(self, dtype):
-        import jax.numpy as jnp
-        if not self.dtopat.any():
-            return jnp.zeros((), dtype)
-        return jnp.asarray(self.dtopat, dtype)
+        return self._or_scalar(self.dtopat, dtype)
 
 
 def _ocean_define(cfg: ModelConfig, grids: Grids) -> np.ndarray:

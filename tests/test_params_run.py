@@ -260,3 +260,34 @@ def test_driver_atmos_only(tmp_path):
     assert not res.aborted
     for f in ("monit.nc", "atpa.nc", "atast.nc", "avges.nc"):
         assert (tmp_path / "out" / f).exists(), f
+
+
+def test_driver_chunk_nstr_alignment(tmp_path):
+    """Regression: cadences whose step counts are not nstr multiples
+    (e.g. valday -> 4 steps with nstr=3) must not cause the cycle-
+    structured chunk to silently integrate fewer steps than reported."""
+    from qgcm_tpu.config import ModelConfig, OceanConfig
+    from qgcm_tpu.run import Driver
+    from qgcm_tpu.model import build_model
+    from qgcm_tpu.generators import zero_forcing
+
+    base = ModelConfig(nxta=24, nyta=24, nxaooc=24, nyaooc=12, ndxr=2,
+                       fnot=5.92e-5, beta=2.08e-11,
+                       ocean_only=True, cyclic_ocean=True)
+    # dta=300, nstr=3; valday=1/72 day = 1200 s = 4 steps (not a
+    # multiple of 3) -> must round to 3
+    p = RunParams(trun=36.0 * 300.0 / 86400.0 / 365.0, dta=300.0,
+                  nstr=3, dxo=20.0e3, delek=0.0,
+                  valday=1.0 / 72.0, odiday=0.0, adiday=0.0,
+                  dgnday=0.0, prtday=0.0, resday=0.0, dtavoc=0.0,
+                  dtavat=0.0, ah2oc=(0.0, 0.0), ah4oc=(0.0, 0.0),
+                  tabsoc=(287.0, 282.0), hoc=(800.0, 3.2e20),
+                  gpoc=(0.01,), name="zero")
+    cfg = params_to_config(p, base)
+    model = build_model(cfg)
+    drv = Driver(model, p, str(tmp_path / "out"),
+                 mean_forcing=zero_forcing(cfg), verbose=False)
+    assert drv.chunk % cfg.nstr == 0
+    assert drv.nsteps % cfg.nstr == 0
+    res = drv.run()
+    assert res.steps_done == drv.nsteps == 36
