@@ -84,3 +84,27 @@ def test_monitor_writer_schema(setup, tmp_path):
             assert name in f.variables, name
         assert f.variables["kealoc"].shape == (2, model.cfg.nlo)
         assert np.isfinite(f.variables["utauoc"][:]).all()
+
+
+def test_covariance_matches_numpy(setup):
+    """Streaming shift-compensated moments equal a direct NumPy
+    covariance over the same snapshot sequence."""
+    import numpy as np
+    from qgcm_tpu.diags.covaria import (zero_cov, cov_size,
+                                        accumulate_cov, finalize_cov)
+    model, oc, at, ofor, afor = setup
+    rng = np.random.default_rng(3)
+    ny, nx, stride = 10, 14, 2
+    nv = cov_size(ny, nx, stride)
+    acc = zero_cov(nv)
+    snaps = []
+    for _ in range(7):
+        f = 15.0 + rng.standard_normal((ny, nx))
+        snaps.append(f[::stride, ::stride].reshape(-1))
+        import jax.numpy as jnp
+        acc = accumulate_cov(acc, jnp.asarray(f), stride)
+    mean, cov = finalize_cov(acc)
+    X = np.stack(snaps)
+    np.testing.assert_allclose(mean, X.mean(0), rtol=1e-12)
+    np.testing.assert_allclose(cov, np.cov(X.T, ddof=1), rtol=1e-9,
+                               atol=1e-12)
