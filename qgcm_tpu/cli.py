@@ -51,6 +51,14 @@ def _base_config(args):
         cfg = cfg.replace(ocean_only=True)
     if args.atmos_only:
         cfg = cfg.replace(atmos_only=True)
+    if args.dtype is None and cfg.dtype == "float64":
+        import jax
+        if jax.default_backend() != "cpu":
+            # TPU has no float64 FFT (complex128 unsupported); pick the
+            # dtype the backend can run rather than failing at compile.
+            print(f"{jax.default_backend()} backend: using float32 "
+                  "(pass --dtype float64 to force)")
+            cfg = cfg.replace(dtype="float32")
     return cfg.validate()
 
 
@@ -95,6 +103,10 @@ def cmd_run(args):
 def cmd_prepare(args):
     """Generate restart.nc (analytic eddy IC) and/or avges.nc (mean
     forcing) into the case dir."""
+    # IC/forcing generation is host-side float64 work; on a remote TPU
+    # backend every small op pays the tunnel round-trip, so pin to CPU.
+    import jax
+    jax.config.update("jax_platforms", "cpu")
     from .model import build_model
     from .generators import (eddy_pressure, zero_forcing,
                              double_gyre_windstress)
