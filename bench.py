@@ -45,15 +45,23 @@ def main():
         model, *double_gyre_windstress(cfg, model.grids))
 
     run = make_ocean_only_runner(model)
+
+    def sync(st):
+        # Materialise one element on the host: a remote backend's
+        # block_until_ready can return before execution finishes, but a
+        # value fetch cannot.
+        jax.block_until_ready(st)
+        return float(st.po[0, 1, 1])
+
     # compile + warmup
     state = run(state, forcing, STEPS_PER_CHUNK)
-    jax.block_until_ready(state)
+    sync(state)
 
     best = float("inf")
     for _ in range(REPS):
         t0 = time.perf_counter()
         state = run(state, forcing, STEPS_PER_CHUNK)
-        jax.block_until_ready(state)
+        sync(state)
         best = min(best, time.perf_counter() - t0)
 
     points = cfg.nxpo * cfg.nypo * cfg.nlo          # p-grid point-layers

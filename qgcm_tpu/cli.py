@@ -67,6 +67,19 @@ def cmd_run(args):
     from .run import run_case
     from .io import read_mean_forcing, read_mean_sst
 
+    # Persistent XLA compilation cache: the jitted chunk program is
+    # large (minutes to compile on a remote TPU backend) and identical
+    # across runs of the same configuration, so cache it on disk unless
+    # the user already configured a cache location.
+    if "JAX_COMPILATION_CACHE_DIR" not in os.environ:
+        import jax
+        if jax.config.jax_compilation_cache_dir is None:
+            cache = os.path.expanduser("~/.cache/qgcm_tpu/xla")
+            os.makedirs(cache, exist_ok=True)
+            jax.config.update("jax_compilation_cache_dir", cache)
+            jax.config.update(
+                "jax_persistent_cache_min_compile_time_secs", 2.0)
+
     case = args.case
     ppath = os.path.join(case, "input.params")
     params = parse_input_params(ppath) if os.path.exists(ppath) \

@@ -215,17 +215,17 @@ def build_coupling(cfg: ModelConfig, grids: Grids, rad) -> Coupling:
     fsp_at = fsprim_profile(cfg, rad.fspco, grids.ytarel, grids.yla)
 
     return Coupling(
-        w_bbb=jnp.asarray(w[0], dtype=dtype),
-        w_us=jnp.asarray(w[1], dtype=dtype),
-        w_un=jnp.asarray(w[2], dtype=dtype),
-        w_vs=jnp.asarray(w[3], dtype=dtype),
-        w_vn=jnp.asarray(w[4], dtype=dtype),
-        bil_ix_m=jnp.asarray(ix_m), bil_ix_p=jnp.asarray(ix_p),
-        bil_wx_p=jnp.asarray(wpx, dtype=dtype),
-        bil_jy_m=jnp.asarray(jam - 1), bil_jy_p=jnp.asarray(jap - 1),
-        bil_wy_p=jnp.asarray(wpy, dtype=dtype),
-        fsp_oc=jnp.asarray(fsp_oc, dtype=dtype),
-        fsp_at=jnp.asarray(fsp_at, dtype=dtype),
+        w_bbb=np.asarray(w[0], dtype=dtype),
+        w_us=np.asarray(w[1], dtype=dtype),
+        w_un=np.asarray(w[2], dtype=dtype),
+        w_vs=np.asarray(w[3], dtype=dtype),
+        w_vn=np.asarray(w[4], dtype=dtype),
+        bil_ix_m=np.asarray(ix_m), bil_ix_p=np.asarray(ix_p),
+        bil_wx_p=np.asarray(wpx, dtype=dtype),
+        bil_jy_m=np.asarray(jam - 1), bil_jy_p=np.asarray(jap - 1),
+        bil_wy_p=np.asarray(wpy, dtype=dtype),
+        fsp_oc=np.asarray(fsp_oc, dtype=dtype),
+        fsp_at=np.asarray(fsp_at, dtype=dtype),
     )
 
 
@@ -436,8 +436,8 @@ def make_xforc(model):
     if cfg.tau_udiff:
         mask = np.zeros((cfg.nypaor, cfg.nxpaor), dtype=bool)
         mask[joc0:joc0 + nypo, ioc0:ioc0 + nxpo] = True
-        cdrfac = jnp.asarray(np.where(mask, cdrfab, cdrfaa), dtype=dtype)
-        qu2fac = jnp.asarray(np.where(mask, qu2fab, qu2faa), dtype=dtype)
+        cdrfac = np.asarray(np.where(mask, cdrfab, cdrfaa), dtype=dtype)
+        qu2fac = np.asarray(np.where(mask, qu2fab, qu2faa), dtype=dtype)
     else:
         cdrfac, qu2fac = cdrfaa, qu2faa
 

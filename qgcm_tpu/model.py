@@ -182,15 +182,15 @@ def _build_ocean_inversion(cfg: ModelConfig, grids: Grids,
             cfg.ocnorm, True)
         return OceanInversion(
             helm=helm, cdiffo=None, cdhinv=None,
-            pbhoc=jnp.asarray(pbh, dtype=dtype),
-            pch1oc=jnp.asarray(pch1, dtype=dtype),
-            pch2oc=jnp.asarray(pch2, dtype=dtype),
+            pbhoc=np.asarray(pbh, dtype=dtype),
+            pch1oc=np.asarray(pch1, dtype=dtype),
+            pch2oc=np.asarray(pch2, dtype=dtype),
             hbsioc=float(hbsi), aipbho=float(aipbh),
-            aipcho=jnp.asarray(aipch, dtype=dtype),
-            hc1s=jnp.asarray(hc1s, dtype=dtype),
-            hc2s=jnp.asarray(hc2s, dtype=dtype),
-            hc1n=jnp.asarray(hc1n, dtype=dtype),
-            hc2n=jnp.asarray(hc2n, dtype=dtype),
+            aipcho=np.asarray(aipch, dtype=dtype),
+            hc1s=np.asarray(hc1s, dtype=dtype),
+            hc2s=np.asarray(hc2s, dtype=dtype),
+            hc1n=np.asarray(hc1n, dtype=dtype),
+            hc2n=np.asarray(hc2n, dtype=dtype),
         )
 
     # Finite box (conhoms.F:544-641)
@@ -212,8 +212,8 @@ def _build_ocean_inversion(cfg: ModelConfig, grids: Grids,
     cdhinv = np.linalg.inv(cdhoc)
     return OceanInversion(
         helm=helm,
-        cdiffo=jnp.asarray(cdiffo, dtype=dtype),
-        cdhinv=jnp.asarray(cdhinv, dtype=dtype),
+        cdiffo=np.asarray(cdiffo, dtype=dtype),
+        cdhinv=np.asarray(cdhinv, dtype=dtype),
         pbhoc=None, pch1oc=None, pch2oc=None, hbsioc=None,
         aipbho=None, aipcho=None, hc1s=None, hc2s=None, hc1n=None,
         hc2n=None,
@@ -233,15 +233,15 @@ def _build_atmos_inversion(cfg: ModelConfig, grids: Grids,
         cfg.atnorm, True)
     return AtmosInversion(
         helm=helm,
-        pbhat=jnp.asarray(pbh, dtype=dtype),
-        pch1at=jnp.asarray(pch1, dtype=dtype),
-        pch2at=jnp.asarray(pch2, dtype=dtype),
+        pbhat=np.asarray(pbh, dtype=dtype),
+        pch1at=np.asarray(pch1, dtype=dtype),
+        pch2at=np.asarray(pch2, dtype=dtype),
         hbsiat=float(hbsi), aipbha=float(aipbh),
-        aipcha=jnp.asarray(aipch, dtype=dtype),
-        hc1s=jnp.asarray(hc1s, dtype=dtype),
-        hc2s=jnp.asarray(hc2s, dtype=dtype),
-        hc1n=jnp.asarray(hc1n, dtype=dtype),
-        hc2n=jnp.asarray(hc2n, dtype=dtype),
+        aipcha=np.asarray(aipch, dtype=dtype),
+        hc1s=np.asarray(hc1s, dtype=dtype),
+        hc2s=np.asarray(hc2s, dtype=dtype),
+        hc1n=np.asarray(hc1n, dtype=dtype),
+        hc2n=np.asarray(hc2n, dtype=dtype),
     )
 
 
@@ -264,7 +264,7 @@ def build_model(cfg: ModelConfig,
     inv_at = None if cfg.ocean_only else _build_atmos_inversion(
         cfg, grids, modes_at, wap, dtype)
 
-    r_spl = (jnp.asarray(_sponge_ramp(cfg), dtype=dtype)
+    r_spl = (np.asarray(_sponge_ramp(cfg), dtype=dtype)
              if cfg.sponge.enabled else None)
 
     coupling = (build_coupling(cfg, grids, rad)
@@ -274,7 +274,7 @@ def build_model(cfg: ModelConfig,
         cfg=cfg, grids=grids, modes_oc=modes_oc, modes_at=modes_at,
         rad=rad, topo=topo, inv_oc=inv_oc, inv_at=inv_at,
         coupling=coupling,
-        wop=jnp.asarray(wop, dtype=dtype),
-        wap=jnp.asarray(wap, dtype=dtype),
+        wop=np.asarray(wop, dtype=dtype),
+        wap=np.asarray(wap, dtype=dtype),
         r_spl=r_spl,
     )

@@ -21,6 +21,7 @@ from __future__ import annotations
 from typing import NamedTuple
 
 import jax.numpy as jnp
+import numpy as np
 
 from ..model import Model
 from ..ops.stencils import (del2_bc, jacobian9, _wshift, _eshift,
@@ -326,8 +327,8 @@ def make_atmos_step(model: Model):
     cfg = model.cfg
     dtype = jnp.dtype(cfg.dtype)
     dxam2 = 1.0 / model.grids.dxa**2
-    amat = jnp.asarray(model.modes_at.amat, dtype=dtype)
-    yparel = jnp.asarray(model.grids.yparel, dtype=dtype)
+    amat = np.asarray(model.modes_at.amat, dtype=dtype)
+    yparel = np.asarray(model.grids.yparel, dtype=dtype)
     ddyn = model.topo.ddynat_or_scalar(dtype)
 
     def step(state: AtmosState, forcing: AtmosForcing):

@@ -14,6 +14,7 @@ from __future__ import annotations
 from typing import NamedTuple
 
 import jax.numpy as jnp
+import numpy as np
 
 from ..config import ModelConfig
 from ..model import Model
@@ -563,8 +564,8 @@ def make_ocean_step(model: Model):
     g = model.grids
     dtype = jnp.dtype(cfg.dtype)
     dxom2 = 1.0 / g.dxo**2
-    amat = jnp.asarray(model.modes_oc.amat, dtype=dtype)
-    yporel = jnp.asarray(g.yporel, dtype=dtype)
+    amat = np.asarray(model.modes_oc.amat, dtype=dtype)
+    yporel = np.asarray(g.yporel, dtype=dtype)
     ddyn = model.topo.ddynoc_or_scalar(dtype)
 
     def step(state: OceanState, forcing: OceanForcing):

@@ -186,22 +186,74 @@ class Driver:
         self._chunk_fn = jax.jit(chunk_fn, static_argnames=("n_steps",))
         self._xforc = jax.jit(xforc) if has_at else None
 
+        # Event diagnostics run on-device in ONE dispatch each: un-jitted
+        # they issue dozens-to-hundreds of ops, and on a remote backend
+        # every op pays the tunnel round-trip (valids at its default
+        # cadence dominated wall clock ~10x over the physics).  Grid-sized
+        # model arrays (integral weights, topography) are passed as
+        # device-resident ARGUMENTS, not closure constants, so the
+        # compiled programs stay constant-free at any grid size.
+        import dataclasses
+        from .diags.cfl import cfl_numbers
+        wop_d = jnp.asarray(model.wop)
+        wap_d = jnp.asarray(model.wap)
+        dtopoc_d = jnp.asarray(model.topo.dtopoc)
+
+        def _with_arrays(wop, wap, dtop):
+            topo = dataclasses.replace(model.topo, dtopoc=dtop)
+            return dataclasses.replace(model, wop=wop, wap=wap, topo=topo)
+
+        @jax.jit
+        def _valids_j(oc, at, ofor, afor, wop, wap, dtop):
+            return valids(_with_arrays(wop, wap, dtop), oc, at, ofor, afor)
+
+        @jax.jit
+        def _monitor_j(oc, at, ofor, afor, xdiags, wop, wap, dtop):
+            return compute_monitor(_with_arrays(wop, wap, dtop), oc, at,
+                                   ofor, afor, xdiags=xdiags)
+
+        @jax.jit
+        def _cfl_j(oc, at, ofor, afor):
+            return cfl_numbers(model, oc, at, ofor, afor)
+
+        self._valids = lambda oc, at, ofor, afor: \
+            _valids_j(oc, at, ofor, afor, wop_d, wap_d, dtopoc_d)
+        self._monitor = lambda oc, at, ofor, afor, xdiags=None: \
+            _monitor_j(oc, at, ofor, afor, xdiags, wop_d, wap_d, dtopoc_d)
+        self._cfl = _cfl_j
+
     # ------------------------------------------------------------------
+    @staticmethod
+    def _host_device():
+        """Device for init-time work.  State/forcing construction is a
+        chain of small eager ops; on a remote accelerator each would pay
+        the dispatch round-trip, so build on the local CPU and let the
+        first jitted chunk transfer the finished arrays once."""
+        try:
+            return jax.devices("cpu")[0]
+        except RuntimeError:        # no CPU backend registered
+            return jax.devices()[0]
+
     def _initial_state(self):
         model, p = self.model, self.p
         cfg = model.cfg
         tini = 0.0
-        if p.name in ("zero", "rbal"):
-            oc = init_ocean_state(model, init=p.name)
-            at = init_atmos_state(model, init=p.name)
-        else:
-            oc, at, tini = load_restart(p.name, model)
+        with jax.default_device(self._host_device()):
+            if p.name in ("zero", "rbal"):
+                oc = init_ocean_state(model, init=p.name)
+                at = init_atmos_state(model, init=p.name)
+            else:
+                oc, at, tini = load_restart(p.name, model)
         if cfg.atmos_only and self.sst_mean is None:
             raise ValueError("atmos_only run needs a mean SST field "
                              "(sst_mean= or avges.nc)")
         return oc, at, tini
 
     def _initial_forcing(self, oc, at):
+        with jax.default_device(self._host_device()):
+            return self._initial_forcing_impl(oc, at)
+
+    def _initial_forcing_impl(self, oc, at):
         cfg = self.model.cfg
         dtype = jnp.dtype(cfg.dtype)
         if self.has_at:
@@ -289,6 +341,13 @@ class Driver:
         oacc = zero_ocean_averages(cfg, dtype)
         aacc = zero_atmos_averages(cfg, dtype)
         carry = (oc, at, ofor, afor, oacc, aacc, jnp.asarray(step0))
+        # Init built the state on the host CPU (cheap eager ops); move
+        # it to the compute device in one bulk transfer so the jitted
+        # chunk never sees committed-elsewhere inputs.
+        carry = jax.device_put(carry, jax.devices()[0])
+        jax.block_until_ready(carry[0].po if self.has_oc
+                              else carry[1].pa)
+        oc, at, ofor, afor, oacc, aacc, _ = carry
         aborted = False
         n_done = 0
         t0 = time.time()
@@ -303,8 +362,8 @@ class Driver:
                 return cad and n_done % cad == 0
 
             if due(self.nvalid):
-                rep = valids(model, oc if self.has_oc else None,
-                             at if self.has_at else None, ofor, afor)
+                rep = self._valids(oc if self.has_oc else None,
+                                   at if self.has_at else None, ofor, afor)
                 if not bool(rep.ok):
                     # fail-fast with post-mortem artifacts
                     if osnap:
@@ -312,8 +371,8 @@ class Driver:
                     if asnap:
                         asnap.append(at, afor, tyrs)
                     if monw:
-                        monw.append(compute_monitor(
-                            model, oc if self.has_oc else None,
+                        monw.append(self._monitor(
+                            oc if self.has_oc else None,
                             at if self.has_at else None, ofor, afor),
                             tyrs)
                     self._log(f"VALIDITY FAILURE at step {n_done}: "
@@ -325,10 +384,10 @@ class Driver:
                 if self.has_at and self.has_oc:
                     _, _, xdiags = self._xforc(
                         at.pam, oc.pom, oc.sstm, at.astm, at.hmixam)
-                monw.append(compute_monitor(
-                    model, oc if self.has_oc else None,
+                monw.append(self._monitor(
+                    oc if self.has_oc else None,
                     at if self.has_at else None, ofor, afor,
-                    xdiags=xdiags), tyrs)
+                    xdiags), tyrs)
             if due(self.noutoc) and osnap:
                 osnap.append(oc, ofor, tyrs)
             if due(self.noutat) and asnap:
@@ -376,17 +435,16 @@ class Driver:
                 wnc.close()
                 n_ocavg += 1
             if due(self.nrestart):
-                rep = valids(model, oc if self.has_oc else None,
-                             at if self.has_at else None, ofor, afor)
+                rep = self._valids(oc if self.has_oc else None,
+                                   at if self.has_at else None, ofor, afor)
                 if bool(rep.ok):      # last-good checkpoint only
                     save_restart(f"{out}/restart.nc", model, oc, at,
                                  tyrs)
             if due(self.nprint):
                 wall = time.time() - t0
-                from .diags.cfl import cfl_numbers
-                cflr = cfl_numbers(model, oc if self.has_oc else None,
-                                   at if self.has_at else None,
-                                   ofor, afor)
+                cflr = self._cfl(oc if self.has_oc else None,
+                                 at if self.has_at else None,
+                                 ofor, afor)
                 self._log(f"step {n_done}/{self.nsteps} t={tyrs:.4f}y "
                           f"wall={wall:.1f}s "
                           f"cfl(oc)={float(cflr.cnqgoc):.3f} "

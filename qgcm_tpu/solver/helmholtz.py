@@ -213,11 +213,11 @@ def make_box_helmholtz(nxp: int, nyp: int, dx: float, dy: float,
     gx = dst1_np(np.ones((1, nx - 1)))[0]
     gy = dst1_np(np.ones((1, ny - 1)))[0]
     return BoxHelmholtz(nxp=nxp, nyp=nyp,
-                        lamx=jnp.asarray(lamx, dtype=dtype),
-                        lamy=jnp.asarray(lamy, dtype=dtype),
-                        rdm2=jnp.asarray(np.asarray(rdm2), dtype=dtype),
-                        gx=jnp.asarray(gx, dtype=dtype),
-                        gy=jnp.asarray(gy, dtype=dtype),
+                        lamx=np.asarray(lamx, dtype=dtype),
+                        lamy=np.asarray(lamy, dtype=dtype),
+                        rdm2=np.asarray(rdm2, dtype=dtype),
+                        gx=np.asarray(gx, dtype=dtype),
+                        gy=np.asarray(gy, dtype=dtype),
                         norm=norm, denom_inv_np=1.0 / denom)
 
 
@@ -233,7 +233,7 @@ def make_cyclic_helmholtz(nxp: int, nyp: int, dx: float, dy: float,
              - np.asarray(rdm2)[:, None, None])
     norm = 1.0 / (2.0 * ny)                    # rfft/irfft self-normalising
     return CyclicHelmholtz(nxp=nxp, nyp=nyp,
-                           lamx=jnp.asarray(lamx, dtype=dtype),
-                           lamy=jnp.asarray(lamy, dtype=dtype),
-                           rdm2=jnp.asarray(np.asarray(rdm2), dtype=dtype),
+                           lamx=np.asarray(lamx, dtype=dtype),
+                           lamy=np.asarray(lamy, dtype=dtype),
+                           rdm2=np.asarray(rdm2, dtype=dtype),
                            norm=norm, denom_inv_np=1.0 / denom)

@@ -40,10 +40,10 @@ class Topography:
     def _or_scalar(self, field, dtype):
         """Scalar zero when flat: a grid of literal zeros would be
         serialized into every compiled program."""
-        import jax.numpy as jnp
+        import numpy as np
         if not field.any():
-            return jnp.zeros((), dtype)
-        return jnp.asarray(field, dtype)
+            return np.zeros((), dtype)
+        return np.asarray(field, dtype)
 
     def ddynoc_or_scalar(self, dtype):
         return self._or_scalar(self.ddynoc, dtype)
