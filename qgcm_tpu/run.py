@@ -341,12 +341,11 @@ class Driver:
         oacc = zero_ocean_averages(cfg, dtype)
         aacc = zero_atmos_averages(cfg, dtype)
         carry = (oc, at, ofor, afor, oacc, aacc, jnp.asarray(step0))
-        # Init built the state on the host CPU (cheap eager ops); move
-        # it to the compute device in one bulk transfer so the jitted
-        # chunk never sees committed-elsewhere inputs.
-        carry = jax.device_put(carry, jax.devices()[0])
-        jax.block_until_ready(carry[0].po if self.has_oc
-                              else carry[1].pa)
+        # Init built the state on the host CPU (cheap eager ops).  Hand
+        # the first jitted chunk plain NumPy leaves: jit uploads host
+        # data itself, and uncommitted inputs avoid a remote-backend
+        # wedge observed with explicitly device_put-committed arrays.
+        carry = jax.tree_util.tree_map(np.asarray, carry)
         oc, at, ofor, afor, oacc, aacc, _ = carry
         aborted = False
         n_done = 0
