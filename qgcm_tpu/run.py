@@ -131,7 +131,6 @@ class Driver:
         cfg = model.cfg
         nstr = cfg.nstr
         has_oc, has_at = self.has_oc, self.has_at
-        dxo, fnot = model.grids.dxo, cfg.fnot
 
         ostep = make_ocean_step(model) if has_oc else None
         astep = make_atmos_step(model) if has_at else None
@@ -151,10 +150,10 @@ class Driver:
                     ofor, afor, _ = xforc(at.pam, oc.pom, oc.sstm,
                                           at.astm, at.hmixam)
                     oc, _ = ostep(oc, ofor)
-                    oacc = accumulate_ocean(oacc, oc, ofor, dxo, fnot)
+                    oacc = accumulate_ocean(oacc, oc, ofor, model)
                 elif has_oc:                 # ocean only (static ofor)
                     oc, _ = ostep(oc, ofor)
-                    oacc = accumulate_ocean(oacc, oc, ofor, dxo, fnot)
+                    oacc = accumulate_ocean(oacc, oc, ofor, model)
                 elif has_at:                 # atmos only
                     _, afor, _ = xforc(at.pam, None, self.sst_mean,
                                        at.astm, at.hmixam)
@@ -169,7 +168,7 @@ class Driver:
                         at2 = jax.lax.cond(
                             (c * nstr + i) % ATMOS_AVG_PERIOD == 0,
                             average_atmos_levels, lambda s: s, at2)
-                        aacc2 = accumulate_atmos(aacc2, at2, afor)
+                        aacc2 = accumulate_atmos(aacc2, at2, afor, model)
                         return (at2, aacc2), None
                     (at, aacc), _ = jax.lax.scan(
                         abody, (at, aacc), jnp.arange(nstr))
@@ -323,14 +322,16 @@ class Driver:
                 if self.qoc_diag and self.has_oc and self.noutoc
                 else None)
         covs = {}
+        _acc_cov = jax.jit(accumulate_cov,
+                           static_argnames=("nsi", "grid"))
         if self.ncovoc and self.has_oc:
             covs["po"] = zero_cov(cov_size(cfg.nypo, cfg.nxpo,
-                                           self.nscvoc))
+                                           self.nscvoc, grid="p"))
             covs["to"] = zero_cov(cov_size(cfg.nyto, cfg.nxto,
                                            self.nscvoc))
         if self.ncovat and self.has_at:
             covs["pa"] = zero_cov(cov_size(cfg.nypa, cfg.nxpa,
-                                           self.nscvat))
+                                           self.nscvat, grid="p"))
             covs["ta"] = zero_cov(cov_size(cfg.nyta, cfg.nxta,
                                            self.nscvat))
         if self.nocavg:
@@ -396,15 +397,15 @@ class Driver:
                             oacc if self.has_oc else None,
                             aacc if self.has_at else None)
             if due(self.ncovoc):
-                covs["po"] = accumulate_cov(covs["po"], oc.po[0],
-                                            self.nscvoc)
-                covs["to"] = accumulate_cov(covs["to"], oc.sst,
-                                            self.nscvoc)
+                covs["po"] = _acc_cov(covs["po"], oc.po[0],
+                                      nsi=self.nscvoc, grid="p")
+                covs["to"] = _acc_cov(covs["to"], oc.sst,
+                                      nsi=self.nscvoc)
             if due(self.ncovat):
-                covs["pa"] = accumulate_cov(covs["pa"], at.pa[0],
-                                            self.nscvat)
-                covs["ta"] = accumulate_cov(covs["ta"], at.ast,
-                                            self.nscvat)
+                covs["pa"] = _acc_cov(covs["pa"], at.pa[0],
+                                      nsi=self.nscvat, grid="p")
+                covs["ta"] = _acc_cov(covs["ta"], at.ast,
+                                      nsi=self.nscvat)
             if areasw and due(self.nmonit):
                 tavoc, tavat = area_averages(
                     boxes, oc.sst if self.has_oc else None,

@@ -165,10 +165,18 @@ def test_driver_full_diagnostics(tmp_path):
         assert f.variables["tavoc"].shape[1] == 2
         assert np.isfinite(f.variables["tavoc"][:]).all()
     with netcdf_file(out + "/covar.nc", "r", mmap=False) as f:
-        cov = f.variables["covto"][:]
-        assert cov.shape[0] == cov.shape[1]
-        # diagonal of a covariance matrix is non-negative
-        assert (np.diag(cov) >= -1e-6).all()
+        # reference covout schema: packed lower-triangle SSP + mean +
+        # weight sum per sampled field (covaria_diag.F:241-357)
+        nv = f.dimensions["nvcvoc"]
+        assert f.dimensions["nmcvoc"] == nv * (nv + 1) // 2
+        ssp = f.variables["covto"][:]
+        assert ssp.shape == (nv * (nv + 1) // 2,)
+        # diagonal entries of an SSP are non-negative
+        diag_idx = np.arange(nv) * (np.arange(nv) + 3) // 2
+        assert (ssp[diag_idx] >= -1e-6).all()
+        assert float(f.variables["swtto"][0]) >= 2.0
+        for nm in ("covpa", "avgpa", "swtpa", "avgpo", "covpo"):
+            assert nm in f.variables
     with netcdf_file(out + "/qocdiag.nc", "r", mmap=False) as f:
         dq = f.variables["dqdt"][:]
         pieces = sum(f.variables[n][:] for n in
