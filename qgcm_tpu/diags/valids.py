@@ -12,7 +12,9 @@ from __future__ import annotations
 
 from typing import NamedTuple, Optional
 
+import jax
 import jax.numpy as jnp
+import numpy as np
 
 # Hard limits (valsubs.F:77-81)
 TAUEXT = 10.0     # |tau| (m^2 s^-2)
@@ -68,14 +70,8 @@ def valids(model, ocean=None, atmos=None, oc_forcing=None,
         # full layer thickness check (valsubs.F:93-98):
         # h_k = hoc(k) + eta(k-1) - eta(k), eta = (p(k+1)-p(k))/gp(k),
         # bottom layer also loses the topography height.
-        gp = jnp.asarray(cfg.ocean.gpoc, dtype=ocean.po.dtype)
-        hoc = jnp.asarray(cfg.ocean.hoc, dtype=ocean.po.dtype)
-        eta = (ocean.po[1:] - ocean.po[:-1]) / gp[:, None, None]
-        etup = jnp.concatenate([jnp.zeros_like(eta[:1]), eta], axis=0)
-        etdn = jnp.concatenate([eta, jnp.zeros_like(eta[:1])], axis=0)
-        thick = hoc[:, None, None] + etup - etdn
-        thick = thick.at[-1].add(
-            -jnp.asarray(model.topo.dtopoc, dtype=thick.dtype))
+        thick = _ocean_thickness(cfg, ocean.po,
+                                 jnp.asarray(model.topo.dtopoc))
         frac_thin = 100.0 * jnp.mean(
             jnp.where(thick < THKMIN, 1.0, 0.0), axis=(1, 2))
         thinpc = jnp.max(frac_thin)
@@ -95,3 +91,93 @@ def valids(model, ocean=None, atmos=None, oc_forcing=None,
                           wektomax=wektomax, pamax=pamax, qamax=qamax,
                           astmax=astmax, wektamax=wektamax,
                           taumax=taumax, thinpc=thinpc)
+
+
+# ----------------------------------------------------------------------
+# Post-mortem neighbourhood dumps (scan2D/scan3D, valsubs.F:631-744)
+# ----------------------------------------------------------------------
+
+_JWID, _IWID = 4, 3     # rows j+-4, cols i+-3 around the extremum
+
+
+def _locate(x, take_min=False):
+    """(value, layer, j, i, patch) of the extremum of x: |max| by
+    default, plain minimum for the thickness scan. One argmax + one
+    clamped dynamic_slice -- a single cheap jitted reduction, run only
+    on the failure path. The patch window is shifted (not shrunk) at
+    domain edges."""
+    field = x if x.ndim == 3 else x[None]
+    score = -field if take_min else jnp.abs(field)
+    flat = jnp.argmax(score)
+    k, j, i = jnp.unravel_index(flat, field.shape)
+    ny, nx = field.shape[-2:]
+    pj = 2 * _JWID + 1 if ny >= 2 * _JWID + 1 else ny
+    pi = 2 * _IWID + 1 if nx >= 2 * _IWID + 1 else nx
+    j0 = jnp.clip(j - _JWID, 0, ny - pj)
+    i0 = jnp.clip(i - _IWID, 0, nx - pi)
+    layer = jax.lax.dynamic_index_in_dim(field, k, keepdims=False)
+    patch = jax.lax.dynamic_slice(layer, (j0, i0), (pj, pi))
+    return field[k, j, i], k, j, i, j0, i0, patch
+
+
+def _ocean_thickness(cfg, po, dtopoc):
+    """Full perturbed layer thicknesses (valsubs.F:93-98 logic)."""
+    gp = jnp.asarray(cfg.ocean.gpoc, dtype=po.dtype)
+    hoc = jnp.asarray(cfg.ocean.hoc, dtype=po.dtype)
+    eta = (po[1:] - po[:-1]) / gp[:, None, None]
+    etup = jnp.concatenate([jnp.zeros_like(eta[:1]), eta], axis=0)
+    etdn = jnp.concatenate([eta, jnp.zeros_like(eta[:1])], axis=0)
+    thick = hoc[:, None, None] + etup - etdn
+    return thick.at[-1].add(-dtopoc.astype(thick.dtype))
+
+
+def _format_dump(name: str, loc) -> str:
+    """Format one extremum like scan2D/3D: location line, column-index
+    header, then patch rows printed north-to-south."""
+    val, k, j, i, j0, i0, patch = (np.asarray(v) for v in loc)
+    nl = [f"  {name} = {float(val):.6e} located at k, j, i = "
+          f"{int(k)} {int(j)} {int(i)}"]
+    cols = "".join(f"{int(i0) + c:13d}" for c in range(patch.shape[1]))
+    nl.append("   " + cols)
+    for r in range(patch.shape[0] - 1, -1, -1):
+        row = "".join(f"{patch[r, c]:13.5e}"
+                      for c in range(patch.shape[1]))
+        nl.append(f"{int(j0) + r:7d}" + row)
+    return "\n".join(nl)
+
+
+def post_mortem(model, ocean=None, atmos=None, oc_forcing=None,
+                at_forcing=None) -> str:
+    """Locate the extremum of every checked field and its 9x7
+    neighbourhood (the reference's scan2D/scan3D dumps on a validity
+    failure, valsubs.F:101-628) as one formatted report. All
+    reductions run in a single jitted dispatch."""
+
+    @jax.jit
+    def gather(ocean, atmos, oc_forcing, at_forcing, dtopoc):
+        out = {}
+        if ocean is not None:
+            out["po"] = _locate(ocean.po)
+            out["qo"] = _locate(ocean.qo)
+            out["sst"] = _locate(ocean.sst)
+            thick = _ocean_thickness(model.cfg, ocean.po, dtopoc)
+            out["h_min"] = _locate(thick, take_min=True)
+            if oc_forcing is not None:
+                out["wekto"] = _locate(oc_forcing.wekto)
+        if atmos is not None:
+            out["pa"] = _locate(atmos.pa)
+            out["qa"] = _locate(atmos.qa)
+            out["ast"] = _locate(atmos.ast)
+            if at_forcing is not None:
+                out["wekta"] = _locate(at_forcing.wekta)
+                out["taux"] = _locate(at_forcing.tauxa)
+                out["tauy"] = _locate(at_forcing.tauya)
+        return out
+
+    dtop = (jnp.asarray(model.topo.dtopoc)
+            if ocean is not None else None)
+    locs = gather(ocean, atmos, oc_forcing, at_forcing, dtop)
+    parts = ["validity post-mortem (field extrema and neighbourhoods):"]
+    for name, loc in locs.items():
+        parts.append(_format_dump(name, loc))
+    return "\n".join(parts)

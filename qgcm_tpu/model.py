@@ -247,14 +247,18 @@ def _build_atmos_inversion(cfg: ModelConfig, grids: Grids,
 
 def build_model(cfg: ModelConfig,
                 topocname: TopoSpec = "flat",
-                topatname: TopoSpec = "flat") -> Model:
+                topatname: TopoSpec = "flat",
+                extant_oc=None, extant_at=None,
+                atmver: bool = True) -> Model:
     cfg = cfg.validate()
     dtype = jnp.dtype(cfg.dtype)
     grids = build_grids(cfg)
     modes_oc = eigenmodes(cfg.ocean.gpoc, cfg.ocean.hoc, cfg.fnot)
     modes_at = eigenmodes(cfg.atmos.gpat, cfg.atmos.hat, cfg.fnot)
     rad = radiat(cfg, grids)
-    topo = build_topography(cfg, grids, topocname, topatname)
+    topo = build_topography(cfg, grids, topocname, topatname,
+                            extant_oc=extant_oc, extant_at=extant_at,
+                            atmver=atmver)
 
     wop = xintp_weights(cfg.nypo, cfg.nxpo)
     wap = xintp_weights(cfg.nypa, cfg.nxpa)

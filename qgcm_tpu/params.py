@@ -174,21 +174,43 @@ def params_to_config(p: RunParams, base: ModelConfig) -> ModelConfig:
 
 
 def write_matlab_params(path: str, p: RunParams, cfg: ModelConfig,
-                        model=None):
-    """Write input_parameters.m (out_param.f): one 'name = value;'
-    assignment per line, including the main derived quantities."""
+                        model=None, tini: float = 0.0,
+                        nscvoc: int = 4, nscvat: int = 2):
+    """Write input_parameters.m: one 'name = value;' assignment per
+    line covering every quantity of the reference dump (out_param.f:
+    configuration flags, dimensions, covariance dims, all runtime
+    parameters, and the derived eigenmode/radiation/sponge values)."""
     lines = []
 
     def put(n, v):
         import numpy as _np
         if isinstance(v, _np.ndarray) and v.ndim > 0:
             v = tuple(v.tolist())
-        if isinstance(v, (tuple, list)):
+        if isinstance(v, str):
+            lines.append(f"{n} = '{v}';")
+        elif isinstance(v, (tuple, list)):
             body = " ".join(f"{float(x):.10g}" for x in v)
             lines.append(f"{n} = [ {body} ];")
         else:
             lines.append(f"{n} = {float(v):.10g};")
 
+    # configuration flags (out_param.f:33-64)
+    put("oceanonly", int(cfg.ocean_only))
+    put("atmosonly", int(cfg.atmos_only))
+    put("getcovar", int(bool(p.dtcovoc or p.dtcovat)))
+    put("cyclicoc", int(cfg.cyclic_ocean))
+    put("hflxsb", int(cfg.sb_hflux))
+    put("hflxnb", int(cfg.nb_hflux))
+    put("tauudiff", int(cfg.tau_udiff))
+    # covariance subsampling dims (out_param.f:83-95)
+    nvcvoc = ((cfg.nypo - 1) // nscvoc) * ((cfg.nxpo - 1) // nscvoc)
+    nvcvat = ((cfg.nypa - 1) // nscvat) * ((cfg.nxpa - 1) // nscvat)
+    put("nscvoc", nscvoc); put("nvcvoc", nvcvoc)
+    put("nmcvoc", nvcvoc * (nvcvoc + 1) // 2)
+    put("nscvat", nscvat); put("nvcvat", nvcvat)
+    put("nmcvat", nvcvat * (nvcvat + 1) // 2)
+    # time bookkeeping (out_param.f:69-75)
+    put("tini", tini); put("tend", tini + p.trun)
     put("trun", p.trun); put("dta", p.dta); put("nstr", p.nstr)
     put("dxo", p.dxo); put("delek", p.delek); put("cdat", p.cdat)
     put("rhoat", p.rhoat); put("rhooc", p.rhooc)
@@ -215,15 +237,32 @@ def write_matlab_params(path: str, p: RunParams, cfg: ModelConfig,
     put("ndxr", cfg.ndxr); put("nxto", cfg.nxto); put("nyto", cfg.nyto)
     put("nxpo", cfg.nxpo); put("nypo", cfg.nypo)
     put("nxpa", cfg.nxpa); put("nypa", cfg.nypa)
+    put("nx1", cfg.nx1); put("ny1", cfg.ny1)
     put("fnot", cfg.fnot); put("beta", cfg.beta)
     put("dxa", cfg.dxa); put("dto", cfg.dto)
     put("nlo", cfg.nlo); put("nla", cfg.nla)
+    # initial-state / output selectors (out_param.f:280-300)
+    put("name", p.name)
+    put("outfloc", [float(x) for x in p.outfloc])
+    put("outflat", [float(x) for x in p.outflat])
     if model is not None:
+        # derived eigenmode, radiation and sponge quantities
+        # (out_param.f:305-420)
         put("rdefoc", model.modes_oc.rdef)
         put("rdefat", model.modes_at.rdef)
         put("cphsoc", model.modes_oc.cphs)
         put("cphsat", model.modes_at.cphs)
         put("tmbara", model.rad.tmbara)
         put("tmbaro", model.rad.tmbaro)
+        put("tocc", model.rad.toc)
+        put("tat", model.rad.tat)
+        put("tsbdy", model.rad.tsbdy)
+        put("tnbdy", model.rad.tnbdy)
+        put("aface", model.rad.aface)
+        put("bface", model.rad.bface)
+        put("cface", model.rad.cface)
+        put("dface", model.rad.dface)
+        put("l_spl", cfg.sponge.l_spl if cfg.sponge.enabled else 0.0)
+        put("c1_spl", cfg.sponge.c1_spl if cfg.sponge.enabled else 0.0)
     with open(path, "w") as f:
         f.write("\n".join(lines) + "\n")

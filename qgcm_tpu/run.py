@@ -84,29 +84,42 @@ class Driver:
         p = params
         dta, nstr = cfg.dta, cfg.nstr
 
-        def steps(days):
+        def steps(days, what=""):
             """Cadence in atmos steps, rounded to a multiple of nstr:
             the time loop advances in whole coupling cycles, so every
             cadence (and hence their gcd, the chunk) must be
-            nstr-aligned or events would fire at misreported times."""
+            nstr-aligned or events would fire at misreported times.
+            The reference honours any whole-step cadence exactly
+            (q-gcm.F:640-700), so warn whenever rounding moves a
+            requested event time."""
             if days <= 0:
                 return 0
             n = max(1, round(days * SECDAY / dta))
-            return max(nstr, (n // nstr) * nstr)
+            aligned = max(nstr, (n // nstr) * nstr)
+            if abs(n * dta - days * SECDAY) > 1e-6 * dta \
+                    or aligned != n:
+                import warnings
+                warnings.warn(
+                    f"{what or 'cadence'} of {days} days is not a "
+                    f"whole number of {nstr}-step coupling cycles "
+                    f"(dta={dta}s); rounding to {aligned} steps = "
+                    f"{aligned * dta / SECDAY} days",
+                    stacklevel=3)
+            return aligned
 
         self.nsteps = -(-max(1, round(p.trun * SECSYR / dta))
                         // nstr) * nstr
-        self.nvalid = steps(p.valday)
-        self.noutoc = steps(p.odiday)
-        self.noutat = steps(p.adiday)
-        self.nmonit = steps(p.dgnday)
-        self.nprint = steps(p.prtday)
-        self.nrestart = steps(p.resday)
-        self.ntavoc = steps(p.dtavoc)
-        self.ntavat = steps(p.dtavat)
-        self.ncovoc = steps(p.dtcovoc)
-        self.ncovat = steps(p.dtcovat)
-        self.nocavg = steps(ocavg_days)
+        self.nvalid = steps(p.valday, "valday")
+        self.noutoc = steps(p.odiday, "odiday")
+        self.noutat = steps(p.adiday, "adiday")
+        self.nmonit = steps(p.dgnday, "dgnday")
+        self.nprint = steps(p.prtday, "prtday")
+        self.nrestart = steps(p.resday, "resday")
+        self.ntavoc = steps(p.dtavoc, "dtavoc")
+        self.ntavat = steps(p.dtavat, "dtavat")
+        self.ncovoc = steps(p.dtcovoc, "dtcovoc")
+        self.ncovat = steps(p.dtcovat, "dtcovat")
+        self.nocavg = steps(ocavg_days, "ocavg_days")
         self.chunk = _gcd_all([
             self.nvalid, self.noutoc, self.noutat, self.nmonit,
             self.nprint, self.nrestart, self.ntavoc, self.ntavat,
@@ -297,7 +310,9 @@ class Driver:
         ofor, afor = self._initial_forcing(oc, at)
         step0 = round(tini * SECSYR / cfg.dta)
 
-        write_matlab_params(f"{out}/input_parameters.m", p, cfg, model)
+        write_matlab_params(f"{out}/input_parameters.m", p, cfg, model,
+                            tini=tini, nscvoc=self.nscvoc,
+                            nscvat=self.nscvat)
         if model.topo.dtopoc.any() or model.topo.dtopat.any():
             from .topo import write_topog
             write_topog(f"{out}/topog.nc", model)
@@ -377,6 +392,10 @@ class Driver:
                             tyrs)
                     self._log(f"VALIDITY FAILURE at step {n_done}: "
                               f"{rep}")
+                    from .diags.valids import post_mortem
+                    self._log(post_mortem(
+                        model, oc if self.has_oc else None,
+                        at if self.has_at else None, ofor, afor))
                     aborted = True
                     break
             if due(self.nmonit) and monw:
@@ -480,7 +499,29 @@ def run_case(params: RunParams, base_config, outdir: str,
     cfg = params_to_config(params, base_config)
     topocname = params.topocname if params.topocname != "flat" else topoc
     topatname = params.topatname if params.topatname != "flat" else topat
-    model = build_model(cfg, topocname=topocname, topatname=topatname)
+    # 'extant' in input.params: use the pre-existing topography dataset
+    # (topog.nc prepared earlier in the case directory,
+    # topsubs.F:146-163 semantics)
+    extant_oc = extant_at = None
+    if "extant" in (topocname, topatname):
+        case_dir = os.path.dirname(os.path.abspath(outdir))
+        for cand in (os.path.join(case_dir, "topog.nc"),
+                     os.path.join(outdir, "topog.nc")):
+            if os.path.exists(cand):
+                from .topo import _load_netcdf
+                if topocname == "extant":
+                    extant_oc = _load_netcdf(cand, "dtopoc",
+                                             (cfg.nypo, cfg.nxpo))
+                if topatname == "extant":
+                    extant_at = _load_netcdf(cand, "dtopat",
+                                             (cfg.nypa, cfg.nxpa))
+                break
+        else:
+            raise FileNotFoundError(
+                "topography 'extant' requested but no topog.nc found "
+                "in the case or output directory")
+    model = build_model(cfg, topocname=topocname, topatname=topatname,
+                        extant_oc=extant_oc, extant_at=extant_at)
     if cfg.ocean_only and mean_forcing is None:
         mean_forcing = read_mean_forcing(f"{outdir}/avges_in.nc") \
             if os.path.exists(f"{outdir}/avges_in.nc") else None

@@ -5,8 +5,16 @@ Replaces reference src/topsubs.F:41-479. Modes per fluid:
   'define'  -- the reference's built-in test features (mid-Atlantic
                ridge for the ocean, topsubs.F:120-133; sloping Rockies
                for the atmosphere, topsubs.F:270-298)
+  'extant'  -- pre-existing topography supplied by the caller
+               (topsubs.F:146-163: the field is used as already set,
+               e.g. by a dataset-preparation program like toptest)
   ndarray   -- user-supplied physical topography at p points (m)
   str path  -- NetCDF file with variable dtopoc/dtopat (topsubs.F:165+)
+
+Validation as in topset: non-flat topographies are warned about if not
+exactly cyclic in x (topsubs.F:227-236, 425-437), and any nonzero
+atmospheric topography over the ocean footprint aborts unless
+atmver=False (the dataset-preparation escape hatch, topsubs.F:392-416).
 
 Physical topography D (m) is rescaled to dynamic topography
 ddyn = (f0/H_bottom) * D (topsubs.F:454,467), where the "bottom" layer
@@ -106,7 +114,10 @@ def write_topog(path: str, model):
 
 def build_topography(cfg: ModelConfig, grids: Grids,
                      topocname: TopoSpec = "flat",
-                     topatname: TopoSpec = "flat") -> Topography:
+                     topatname: TopoSpec = "flat",
+                     extant_oc: np.ndarray = None,
+                     extant_at: np.ndarray = None,
+                     atmver: bool = True) -> Topography:
     # Ocean
     if isinstance(topocname, np.ndarray):
         dtopoc = np.asarray(topocname, dtype=np.float64)
@@ -114,8 +125,16 @@ def build_topography(cfg: ModelConfig, grids: Grids,
         dtopoc = np.zeros((cfg.nypo, cfg.nxpo))
     elif topocname == "define":
         dtopoc = _ocean_define(cfg, grids)
+    elif topocname == "extant":
+        if extant_oc is None:
+            raise ValueError("topocname='extant' needs a pre-existing "
+                             "field (extant_oc=)")
+        dtopoc = np.asarray(extant_oc, dtype=np.float64)
     else:
         dtopoc = _load_netcdf(topocname, "dtopoc", (cfg.nypo, cfg.nxpo))
+    if dtopoc.shape != (cfg.nypo, cfg.nxpo):
+        raise ValueError(f"ocean topography shape {dtopoc.shape} != "
+                         f"({cfg.nypo}, {cfg.nxpo})")
 
     # Atmosphere
     if isinstance(topatname, np.ndarray):
@@ -124,8 +143,36 @@ def build_topography(cfg: ModelConfig, grids: Grids,
         dtopat = np.zeros((cfg.nypa, cfg.nxpa))
     elif topatname == "define":
         dtopat = _atmos_define(cfg, grids)
+    elif topatname == "extant":
+        if extant_at is None:
+            raise ValueError("topatname='extant' needs a pre-existing "
+                             "field (extant_at=)")
+        dtopat = np.asarray(extant_at, dtype=np.float64)
     else:
         dtopat = _load_netcdf(topatname, "dtopat", (cfg.nypa, cfg.nxpa))
+    if dtopat.shape != (cfg.nypa, cfg.nxpa):
+        raise ValueError(f"atmos topography shape {dtopat.shape} != "
+                         f"({cfg.nypa}, {cfg.nxpa})")
+
+    # Cyclicity checks (topsubs.F:227-236 ocean, :425-437 atmos)
+    import warnings
+    if cfg.cyclic_ocean and dtopoc.any() \
+            and not np.array_equal(dtopoc[:, 0], dtopoc[:, -1]):
+        warnings.warn("ocean topography not exactly cyclic in x")
+    if dtopat.any() and not np.array_equal(dtopat[:, 0], dtopat[:, -1]):
+        warnings.warn("atmos topography not exactly cyclic in x")
+
+    # No atmospheric topography over the ocean footprint, boundary
+    # points included (topsubs.F:392-416); atmver=False while
+    # preparing topography datasets
+    if atmver and not cfg.ocean_only and not cfg.atmos_only:
+        j0, i0 = cfg.ny1 - 1, cfg.nx1 - 1
+        over = dtopat[j0:j0 + cfg.nyaooc + 1, i0:i0 + cfg.nxaooc + 1]
+        if over.any():
+            j, i = np.unravel_index(np.argmax(over != 0.0), over.shape)
+            raise ValueError(
+                "nonzero atmosphere topography over ocean at "
+                f"(j, i) = ({j0 + j}, {i0 + i})")
 
     wo = xintp_weights(cfg.nypo, cfg.nxpo)
     wa = xintp_weights(cfg.nypa, cfg.nxpa)

@@ -3,6 +3,7 @@ reference's printed dg_oo values), radiation balance invariants,
 grids, topography."""
 
 import numpy as np
+import pytest
 
 from qgcm_tpu import config as qc
 from qgcm_tpu.grids import build_grids
@@ -79,3 +80,88 @@ def test_grids_embedding():
     assert np.isclose(g.dxa, cfg.ndxr * g.dxo)
     # p/T staggering
     assert np.isclose(g.xto[0] - g.xpo[0], 0.5 * g.dxo)
+
+
+def test_radiation_independent_quadrature_and_golden():
+    """Init-time golden check in the spirit of radtest.f: (a) the
+    top-of-atmosphere mean balance closes against INDEPENDENT adaptive
+    quadrature (scipy quad vs the package's nz=10001 trapezoids +
+    Newton), (b) Dmup re-derived by quad matches, and (c) the derived
+    coefficients are pinned to 10 digits for the canonical coupled
+    configuration (regression guard for sign/factor errors).
+    Reference prints these 'to more significant figures (as a check
+    when porting the code between different systems)'
+    (src/WhatsNew.txt:103-106)."""
+    from scipy.integrate import quad
+    cfg = qc.double_gyre_coupled()
+    g = build_grids(cfg)
+    r = radiat(cfg, g)
+    hat = np.asarray(cfg.atmos.hat)
+    tabsat = np.asarray(cfg.atmos.tabsat)
+    zopt = np.asarray(cfg.radiation.zopt)
+    zm, gam = cfg.radiation.zm, cfg.radiation.gamma
+    hmat, S2 = cfg.mixed.hmat, 0.5 * STEFAN
+    nla = cfg.nla
+
+    tauk = np.empty(nla)
+    tauk[0] = np.exp(-(hat[0] - hmat) / zopt[0])
+    tauk[1:] = np.exp(-hat[1:] / zopt[1:])
+    ups = []
+    hbot, htop = hmat, hat[0]
+    for k in range(nla):
+        if k > 0:
+            hbot, htop = htop, htop + hat[k]
+        f = lambda z, k=k, ht=htop: ((tabsat[k] - gam * z) ** 4
+                                     * np.exp(-(ht - z) / zopt[k]))
+        val, err = quad(f, hbot, htop, epsabs=1e-12, epsrel=1e-13,
+                        limit=500)
+        ups.append(S2 * val / zopt[k])
+    fm = lambda z: ((r.tmbara - gam * z) ** 4
+                    * np.exp(-(hmat - z) / zm))
+    upint, _ = quad(fm, 0, hmat, epsabs=1e-12, epsrel=1e-13, limit=500)
+    F = S2 * upint / zm * tauk[0] + ups[0]
+    for k in range(1, nla):
+        F = F * tauk[k] + ups[k]
+    # upward flux at the top of the atmosphere balances the solar input
+    assert abs(F + cfg.radiation.fsbar) < 1e-7 * abs(cfg.radiation.fsbar)
+
+    f3 = lambda z: ((r.tmbara - gam * z) ** 3
+                    * np.exp(-(hmat - z) / zm))
+    dmup_quad = 2.0 * STEFAN * quad(f3, 0, hmat, epsabs=1e-13,
+                                    epsrel=1e-13, limit=500)[0] / zm
+    # nz=10001 trapezoids are good to ~1e-8 relative here
+    assert abs(r.Dmup - dmup_quad) < 1e-7 * abs(dmup_quad)
+
+    # pinned high-precision golden values (canonical coupled config)
+    assert r.tmbara == pytest.approx(300.69902393198896, rel=1e-10)
+    assert r.tmbaro == pytest.approx(300.1692848337717, rel=1e-10)
+    np.testing.assert_allclose(
+        r.aface, [3.02169956e-07, -5.79075517e-08], rtol=1e-7)
+    assert r.bface == pytest.approx(9.098715692510914e-07, rel=1e-9)
+    assert r.dface == pytest.approx(8.00248908613519e-05, rel=1e-9)
+    np.testing.assert_allclose(r.rbetat, [112.3053807, 19.2581641],
+                               rtol=1e-8)
+    assert r.rbtmat == pytest.approx(-0.4101238812632333, rel=1e-9)
+    assert r.rbtmoc == pytest.approx(-0.4040155830993504, rel=1e-9)
+
+
+def test_eigenmode_golden_values():
+    """Pinned deformation radii for the canonical coupled config (the
+    eigtest.f check), plus the defining eigenrelation at machine
+    precision for both fluids."""
+    from qgcm_tpu.modes import eigenmodes
+    cfg = qc.double_gyre_coupled()
+    mo = eigenmodes(cfg.ocean.gpoc, cfg.ocean.hoc, cfg.fnot)
+    ma = eigenmodes(cfg.atmos.gpat, cfg.atmos.hat, cfg.fnot)
+    np.testing.assert_allclose(
+        mo.rdef, [0.0, 30438.67303125, 17297.4632586], rtol=1e-10)
+    np.testing.assert_allclose(
+        ma.rdef, [0.0, 496233.16859698, 259428.33553895], rtol=1e-10)
+    for m, nl in ((mo, cfg.nlo), (ma, cfg.nla)):
+        for mm in range(nl):
+            lam = 0.0 if mm == 0 else 1.0 / m.cphs[mm] ** 2
+            resid = m.amat @ m.cm2l[:, mm] - lam * m.cm2l[:, mm]
+            assert np.abs(resid).max() < 1e-12 * np.abs(m.amat).max()
+        # biorthogonality: cl2m is the exact inverse of cm2l
+        np.testing.assert_allclose(m.cl2m @ m.cm2l, np.eye(nl),
+                                   atol=1e-12)

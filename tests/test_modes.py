@@ -51,7 +51,11 @@ def test_topography_define_and_array():
                               ndxr=8, dta=180.0,
                               ocean=OceanConfig(dxo=20.0e3))
     m_flat = build_model(cfg)
-    m_def = build_model(cfg, topocname="define", topatname="define")
+    # atmver=False: at this shrunken domain the 'define' Rockies
+    # overlap the ocean footprint, which topset-style validation
+    # correctly rejects in normal running (topsubs.F:392-416)
+    m_def = build_model(cfg, topocname="define", topatname="define",
+                        atmver=False)
     assert float(np.abs(m_def.topo.dtopoc).max()) > 0
     assert float(np.abs(m_def.topo.ddynat).max()) > 0
     assert float(np.abs(m_flat.topo.ddynoc).max()) == 0
@@ -185,3 +189,92 @@ def test_modon_initial_condition():
     for _ in range(5):
         st, _ = step(st, f)
     assert np.isfinite(np.asarray(st.po)).all()
+
+
+def test_topography_extant_and_validation(tmp_path):
+    """'extant' uses a pre-supplied field unchanged (topsubs.F:146-163)
+    and topset's validation runs: atmospheric topography over the
+    ocean footprint aborts unless atmver=False (:392-416), and
+    non-cyclic fields warn (:227-236, 425-437).  Golden toptest-style
+    check: the 'define' ridge equals the analytic profile of
+    topsubs.F:120-133 at pinned points."""
+    import warnings
+    cfg = double_gyre_coupled(nxta=128, nyta=32, nxaooc=18, nyaooc=8,
+                              ndxr=8, dta=180.0,
+                              ocean=OceanConfig(dxo=20.0e3))
+
+    # --- toptest-equivalent golden values for 'define' ---
+    m_def = build_model(cfg, topocname="define")
+    g = m_def.grids
+    xrel = g.xpo - g.xpo[0]
+    # ridge apex 1000 m at x = 2300 km, zero outside [2000, 2600] km
+    i_apex = int(np.argmin(np.abs(xrel - 2300.0e3)))
+    expect = max(0.0, 1000.0 * (1.0 - abs(xrel[i_apex] - 2300.0e3)
+                                / 300.0e3))
+    assert m_def.topo.dtopoc[5, i_apex] == pytest.approx(expect)
+    i_out = int(np.argmin(np.abs(xrel - 1000.0e3)))
+    assert m_def.topo.dtopoc[5, i_out] == 0.0
+    # dynamic topography scaling ddyn = f0 D / H_nlo (topsubs.F:454)
+    np.testing.assert_allclose(
+        m_def.topo.ddynoc,
+        cfg.fnot / cfg.ocean.hoc[-1] * m_def.topo.dtopoc, rtol=1e-15)
+
+    # --- extant passes a pre-existing field through unchanged ---
+    rng = np.random.default_rng(0)
+    pre = np.abs(rng.standard_normal((cfg.nypo, cfg.nxpo))) * 50.0
+    m_ext = build_model(cfg, topocname="extant", extant_oc=pre)
+    np.testing.assert_array_equal(m_ext.topo.dtopoc, pre)
+    with pytest.raises(ValueError, match="extant"):
+        build_model(cfg, topocname="extant")
+
+    # --- atmos topography over the ocean footprint aborts ---
+    bad = np.zeros((cfg.nypa, cfg.nxpa))
+    j0, i0 = cfg.ny1 - 1, cfg.nx1 - 1
+    bad[j0 + 2, i0 + 2] = 100.0
+    bad[:, -1] = bad[:, 0]
+    with pytest.raises(ValueError, match="over ocean"):
+        build_model(cfg, topatname=bad)
+    # ... unless dataset preparation is in progress (atmver=False)
+    build_model(cfg, topatname=bad, atmver=False)
+
+    # --- non-cyclic atmos topography warns ---
+    noncyc = np.zeros((cfg.nypa, cfg.nxpa))
+    noncyc[:, 0] = 10.0
+    with pytest.warns(UserWarning, match="cyclic"):
+        build_model(cfg, topatname=noncyc, atmver=False)
+
+
+def test_topography_extant_from_case_topog(tmp_path):
+    """Driver-level 'extant': input.params naming 'extant' picks up the
+    topog.nc prepared in the case directory."""
+    from qgcm_tpu.run import run_case
+    from qgcm_tpu.params import RunParams
+    from qgcm_tpu.topo import write_topog
+    from qgcm_tpu.config import ModelConfig
+
+    base = ModelConfig(nxta=24, nyta=24, nxaooc=24, nyaooc=12, ndxr=2,
+                       fnot=5.92e-5, beta=2.08e-11,
+                       ocean_only=True, cyclic_ocean=True)
+    p = RunParams(trun=0.05 / 365.0, dta=150.0, nstr=3, dxo=20.0e3,
+                  delek=0.0, valday=0.0, odiday=0.0, adiday=0.0,
+                  dgnday=0.0, prtday=0.0, resday=0.0, dtavoc=0.0,
+                  dtavat=0.0, ah2oc=(0.0, 0.0), ah4oc=(0.0, 0.0),
+                  tabsoc=(287.0, 282.0), hoc=(800.0, 3200.0),
+                  gpoc=(0.01,), name="zero", topocname="extant")
+    from qgcm_tpu.params import params_to_config
+    from qgcm_tpu.model import build_model as bm
+    cfg = params_to_config(p, base)
+    hills = 20.0 * np.ones((cfg.nypo, cfg.nxpo))
+    prep = bm(cfg, topocname="extant", extant_oc=hills)
+    case = tmp_path
+    write_topog(str(case / "topog.nc"), prep)
+
+    from qgcm_tpu.generators import zero_forcing
+    res = run_case(p, base, str(case / "out"),
+                   mean_forcing=zero_forcing(cfg), verbose=False)
+    assert not res.aborted
+    # missing topog.nc is a hard error
+    p2 = RunParams(**{**p.__dict__})
+    with pytest.raises(FileNotFoundError):
+        run_case(p2, base, str(tmp_path / "empty" / "out"),
+                 mean_forcing=zero_forcing(cfg), verbose=False)

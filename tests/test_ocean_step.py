@@ -87,8 +87,11 @@ def test_mass_constraint(case):
 
 def test_unforced_eddy_stability_and_energy():
     """Inviscid unforced eddy: run 200 steps; fields stay finite and
-    total energy drifts by < 1% (leapfrog is neutrally stable; the
-    25-step averaging dissipates only the computational mode)."""
+    total energy is conserved to ~1e-6 relative (leapfrog is neutrally
+    stable; the 25-step averaging dissipates only the computational
+    mode, measured ~2e-9/step). This is the tight oracle -- a sign or
+    factor error in the Jacobian, inversion or constraints moves it by
+    orders of magnitude."""
     cfg = small_box_cfg(
         ocean=qc.OceanConfig(ah2oc=(0.0,) * 3, ah4oc=(0.0,) * 3,
                              delek=0.0),
@@ -116,7 +119,7 @@ def test_unforced_eddy_stability_and_energy():
     assert np.isfinite(np.asarray(state.po)).all()
     assert np.isfinite(np.asarray(state.qo)).all()
     e1 = energy(state)
-    assert abs(e1 - e0) < 0.01 * e0
+    assert abs(e1 - e0) < 1e-6 * e0
 
 
 def test_forced_run_spins_up():
@@ -132,3 +135,36 @@ def test_forced_run_spins_up():
     po = np.asarray(state.po)
     assert np.isfinite(po).all()
     assert np.abs(po).max() > 0.0
+
+
+def test_anticyclone_beta_drifts_southwest():
+    """Physics oracle: an unforced NH anticyclonic eddy on a beta
+    plane self-advects SOUTHWEST (beta drift: westward at long-Rossby
+    speed, southward from the beta-gyre circulation). A sign error in
+    beta, the Jacobian, or the inversion flips the direction."""
+    cfg = qc.ModelConfig(
+        nxta=24, nyta=24, nxaooc=24, nyaooc=12, ndxr=4,
+        fnot=5.92e-5, beta=2.08e-11, dta=150.0, nstr=3,
+        ocean=qc.OceanConfig(nlo=2, dxo=10e3, delek=0.0,
+                             hoc=(800.0, 3200.0), gpoc=(0.01,),
+                             tabsoc=(287.0, 282.0),
+                             ah2oc=(0.0, 0.0), ah4oc=(0.0, 0.0)),
+        ocean_only=True, cyclic_ocean=True).validate()
+    model = build_model(cfg)
+    st0 = init_ocean_state(model, po=eddy_pressure(cfg))
+    f = ocean_forcing_from_mean(model, *zero_forcing(cfg))
+    st = make_ocean_only_runner(model, jit=True)(st0, f, 3000)
+
+    def centroid(p):
+        """Centre of mass of the eddy core (p > half max)."""
+        w = np.where(p > 0.5 * p.max(), p, 0.0)
+        jj, ii = np.mgrid[: p.shape[0], : p.shape[1]]
+        return (w * jj).sum() / w.sum(), (w * ii).sum() / w.sum()
+
+    j0, i0 = centroid(np.asarray(st0.po[0], np.float64))
+    j1, i1 = centroid(np.asarray(st.po[0], np.float64))
+    # ~5 model days: the drift must be clearly resolved (>0.3 cells)
+    assert j1 < j0 - 0.3, (j0, j1)
+    assert i1 < i0 - 0.3, (i0, i1)
+    # the eddy survives (amplitude decays only slowly)
+    assert np.asarray(st.po[0]).max() > 0.6 * np.asarray(st0.po[0]).max()

@@ -57,7 +57,9 @@ def test_matlab_dump_roundtrip(tmp_path):
     for line in text.strip().splitlines():
         name, rhs = line.split("=", 1)
         rhs = rhs.strip().rstrip(";")
-        if rhs.startswith("["):
+        if rhs.startswith("'"):
+            vals[name.strip()] = rhs.strip("'")
+        elif rhs.startswith("["):
             vals[name.strip()] = [float(x) for x in rhs[1:-1].split()]
         else:
             vals[name.strip()] = float(rhs)
@@ -65,6 +67,46 @@ def test_matlab_dump_roundtrip(tmp_path):
     assert vals["nxta"] == cfg.nxta
     assert vals["hoc"] == list(p.hoc)
     assert vals["dto"] == cfg.dto
+    assert vals["name"] == "zero"
+    assert vals["cyclicoc"] == 0.0 and vals["oceanonly"] == 0.0
+    assert vals["nmcvoc"] == vals["nvcvoc"] * (vals["nvcvoc"] + 1) / 2
+
+
+def test_matlab_dump_complete_manifest(tmp_path):
+    """The dump covers every distinct name of the reference's
+    out_param.f (118 assignments; vector appends collapse to one
+    entry each), plus derived values only available with a model."""
+    from qgcm_tpu.config import double_gyre_coupled, OceanConfig
+    from qgcm_tpu.model import build_model
+    base = double_gyre_coupled(nxta=24, nyta=12, nxaooc=8, nyaooc=8,
+                               ndxr=4, ocean=OceanConfig(dxo=20.0e3))
+    p = RunParams(dta=180.0, nstr=3, dxo=20.0e3)
+    model = build_model(base)
+    path = str(tmp_path / "input_parameters.m")
+    write_matlab_params(path, p, base, model, tini=1.5)
+    names = {ln.split("=", 1)[0].strip()
+             for ln in open(path) if "=" in ln}
+    # the reference's distinct names (out_param.f), 'prtday' and the
+    # covariance cadences are ours; nsteps0/nsteps are step counts the
+    # scan driver derives on the fly
+    manifest = [
+        "oceanonly", "atmosonly", "getcovar", "cyclicoc", "hflxsb",
+        "hflxnb", "tauudiff", "nxto", "nyto", "nlo", "nxta", "nyta",
+        "nla", "nxaooc", "nyaooc", "ndxr", "nx1", "ny1", "fnot",
+        "beta", "nscvoc", "nvcvoc", "nmcvoc", "nscvat", "nvcvat",
+        "nmcvat", "tini", "trun", "tend", "dto", "dta", "dxo", "dxa",
+        "delek", "cdat", "rhoat", "rhooc", "cpat", "cpoc", "bccoat",
+        "bccooc", "xcexp", "ycexp", "valday", "odiday", "adiday",
+        "dgnday", "resday", "nsko", "nska", "dtavat", "dtavoc",
+        "hmoc", "hmat", "st2d", "st4d", "ahmd", "at2d", "at4d",
+        "tsbdy", "xlamda", "hmadmp", "fsbar", "fspamp", "zm", "zopt",
+        "gamma", "gpoc", "ah2oc", "ah4oc", "tabsoc", "tocc", "hoc",
+        "gpat", "ah4at", "tabsat", "tat", "hat", "name", "outfloc",
+        "outflat", "tmbara", "tmbaro", "cphsoc", "rdefoc", "tnbdy",
+        "cphsat", "rdefat", "aface", "bface", "cface", "dface",
+        "l_spl", "c1_spl"]
+    missing = [n for n in manifest if n not in names]
+    assert not missing, missing
 
 
 def test_driver_ocean_only(tmp_path):
@@ -240,12 +282,32 @@ def test_driver_abort_on_blowup(tmp_path):
     rst = str(tmp_path / "r0.nc")
     save_restart(rst, model, oc, at, 0.0)
     p.name = rst
-    res = run_case(p, base, str(tmp_path / "out"),
-                   mean_forcing=zero_forcing(cfg), verbose=False)
+    import io
+    from contextlib import redirect_stdout
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        res = run_case(p, base, str(tmp_path / "out"),
+                       mean_forcing=zero_forcing(cfg), verbose=True)
     assert res.aborted
     assert res.steps_done < round(p.trun * 365 * 86400 / p.dta)
     # post-mortem snapshot written on abort
     assert (tmp_path / "out" / "ocpo.nc").exists()
+    # scan2D/3D-style neighbourhood dump (valsubs.F:631-744): the log
+    # names the offending (k, j, i) and prints a patch of values
+    log = buf.getvalue()
+    assert "VALIDITY FAILURE" in log
+    assert "post-mortem" in log
+    import re
+    m = re.search(r"qo = (\S+) located at k, j, i = "
+                  r"(\d+) (\d+) (\d+)", log)
+    assert m, log[-2000:]
+    k, j, i = int(m.group(2)), int(m.group(3)), int(m.group(4))
+    # the dumped extremum really is the field maximum at that point
+    # (or a NaN, which argmax surfaces first on a blown-up field)
+    qo = np.abs(np.asarray(res.ocean.qo))
+    assert np.isnan(qo[k, j, i]) or qo[k, j, i] == np.nanmax(qo)
+    # and the patch rows carry the column-index header
+    assert re.search(rf"\b{max(0, i - 3)}\b.*\b{i}\b", log)
 
 
 def test_driver_atmos_only(tmp_path):
@@ -299,3 +361,33 @@ def test_driver_chunk_nstr_alignment(tmp_path):
     assert drv.nsteps % cfg.nstr == 0
     res = drv.run()
     assert res.steps_done == drv.nsteps == 36
+
+
+def test_cadence_rounding_warns(tmp_path):
+    """A cadence the reference would honour exactly but that is not a
+    whole number of coupling cycles must warn (with the rounded value),
+    and exactly-representable cadences must stay silent."""
+    import warnings
+    from qgcm_tpu.config import double_gyre_coupled, OceanConfig
+    from qgcm_tpu.run import Driver
+    from qgcm_tpu.model import build_model
+
+    base = double_gyre_coupled(nxta=24, nyta=12, nxaooc=8, nyaooc=8,
+                               ndxr=4, ocean=OceanConfig(dxo=20.0e3))
+    model = build_model(base)
+    # dta=180 s, nstr=3 -> cycle = 540 s.  valday=0.0125 d = 1080 s =
+    # exactly 2 cycles (silent); 0.01 d = 864 s = 4.8 steps (warns).
+    p = RunParams(trun=0.01 / 365.0, dta=180.0, nstr=3, dxo=20.0e3,
+                  valday=0.0125, odiday=0.0, adiday=0.0, dgnday=0.0,
+                  prtday=0.0, resday=0.0, dtavoc=0.0, dtavat=0.0,
+                  name="rbal")
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        Driver(model, p, str(tmp_path / "a"), verbose=False)
+
+    p2 = RunParams(trun=0.01 / 365.0, dta=180.0, nstr=3, dxo=20.0e3,
+                   valday=0.01, odiday=0.0, adiday=0.0, dgnday=0.0,
+                   prtday=0.0, resday=0.0, dtavoc=0.0, dtavat=0.0,
+                   name="rbal")
+    with pytest.warns(UserWarning, match="valday"):
+        Driver(model, p2, str(tmp_path / "b"), verbose=False)
