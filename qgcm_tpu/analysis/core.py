@@ -29,7 +29,9 @@ def _read_matlab_params(path: str) -> dict:
             continue
         name, rhs = line.split("=", 1)
         rhs = rhs.strip()
-        if rhs.startswith("["):
+        if rhs.startswith("'"):          # string entries (file names etc.)
+            vals[name.strip()] = rhs.strip("'")
+        elif rhs.startswith("["):
             vals[name.strip()] = np.asarray(
                 [float(t) for t in rhs[1:-1].split()])
         else:

@@ -57,6 +57,10 @@ class FluidMonitor(NamedTuple):
     tmlm: jnp.ndarray     # mean mixed layer temperature
     tmin: jnp.ndarray
     tmax: jnp.ndarray
+    jetpos: jnp.ndarray   # (nl,) j row (1-based) of the max |zonal-
+                          # mean u| -- jet/storm-track position
+                          # (ocjpos/atstpos, monitor_diag.F:382,697)
+    jetval: jnp.ndarray   # (nl,) that max zonal-mean speed (m/s)
 
 
 def _fluid_monitor(p, pm, q, eta_sign, gp, h, rho, f0, dx, dt,
@@ -139,6 +143,14 @@ def _fluid_monitor(p, pm, q, eta_sign, gp, h, rho, f0, dx, dt,
     else:
         btdg = jnp.zeros(())
 
+    # jet (storm-track) position: row of max |zonal-mean u|
+    # (monitor_diag.F:357-390 atmos, :672-705 ocean). The zonal sum
+    # runs over the nxt distinct u faces (the duplicated/zero end
+    # column is dropped).
+    ujet = jnp.abs(jnp.sum(u[:, :, :-1], axis=-1)) / (u.shape[-1] - 1)
+    jetpos = jnp.argmax(ujet, axis=-1) + 1       # 1-based j
+    jetval = jnp.max(ujet, axis=-1)
+
     mon = FluidMonitor(
         kea=kea, ddtke=ddtke, ddtpe=ddtpe, pken=pken, utau=utau,
         ah2d=ah2d, ah4d=ah4d, etam=etam, et2m=et2m, pavg=pavg,
@@ -150,7 +162,8 @@ def _fluid_monitor(p, pm, q, eta_sign, gp, h, rho, f0, dx, dt,
               else jnp.zeros(())),
         enam=(_genint(jnp.abs(ent), 0.5, 0.5) * norm if ent is not None
               else jnp.zeros(())),
-        tmlm=jnp.mean(tml), tmin=jnp.min(tml), tmax=jnp.max(tml))
+        tmlm=jnp.mean(tml), tmin=jnp.min(tml), tmax=jnp.max(tml),
+        jetpos=jetpos, jetval=jetval)
     return mon, btdg
 
 
@@ -291,7 +304,7 @@ def compute_monitor(model, ocean=None, atmos=None, oc_forcing=None,
 
 _OC_VECNL = ["kealoc", "ddtkeoc", "ah2doc", "ah4doc", "pavgoc",
              "qavgoc", "osfmin", "osfmax", "occirc", "ugminoc",
-             "ugmaxoc", "vgminoc", "vgmaxoc"]
+             "ugmaxoc", "vgminoc", "vgmaxoc", "ocjval"]
 _OC_VECNI = ["ddtpeoc", "etamoc", "et2moc", "ermaso", "emfroc"]
 _OC_SCAL = ["pkenoc", "utauoc", "btdgoc", "occtot", "hfmloc", "wetmoc",
             "watmoc", "wepmoc", "wapmoc", "entmoc", "enamoc", "tmlmoc",
@@ -299,13 +312,13 @@ _OC_SCAL = ["pkenoc", "utauoc", "btdgoc", "occtot", "hfmloc", "wetmoc",
             "umminoc", "ummaxoc", "vmminoc", "vmmaxoc",
             "ttmads", "vfmads", "ttmdfs", "ttmadn", "vfmadn", "ttmdfn"]
 _AT_VECNL = ["kealat", "ddtkeat", "ah4dat", "pavgat", "qavgat",
-             "ugminat", "ugmaxat", "vgminat", "vgmaxat"]
+             "ugminat", "ugmaxat", "vgminat", "vgmaxat", "atstval"]
 _AT_VECNI = ["ddtpeat", "etamat", "et2mat", "ermasa", "emfrat"]
 _AT_SCAL = ["pkenat", "utauat", "hcmlat", "tmaooc", "olrtop", "wetmat",
             "watmat", "wepmat", "wapmat", "entmat", "enamat", "tmlmat",
             "hmlmat", "astmin", "astmax", "cnqgat", "cnmlat", "cfraat",
             "centat", "slhfav", "oradav", "arocav", "arlaav",
-            "umminat", "ummaxat", "vmminat", "vmmaxat"]
+            "umminat", "ummaxat", "vmminatat", "vmmaxat"]
 
 
 class MonitorWriter:
@@ -319,18 +332,34 @@ class MonitorWriter:
         w.var("time", "f", ("time",), units="years")
         has_oc = not cfg.atmos_only
         has_at = not cfg.ocean_only
+
+        def middepths(h):
+            """Mid-layer depths, km (monnc_init, monitor_diag.F:2966)."""
+            z = np.cumsum(h) - 0.5 * np.asarray(h)
+            return 1e-3 * z
+
         if has_oc:
             w.dim("zo", cfg.nlo); w.dim("zio", cfg.nlo - 1)
+            w.var("zo", "f", ("zo",), units="km",
+                  data=middepths(cfg.ocean.hoc))
+            w.var("zom", "f", ("zio",), units="km",
+                  data=1e-3 * np.cumsum(cfg.ocean.hoc[:-1]))
             for n in _OC_VECNL:
                 w.var(n, "f", ("time", "zo"))
+            w.var("ocjpos", "i", ("time", "zo"), units="gridsquare")
             for n in _OC_VECNI:
                 w.var(n, "f", ("time", "zio"))
             for n in _OC_SCAL:
                 w.var(n, "f", ("time",))
         if has_at:
             w.dim("za", cfg.nla); w.dim("zia", cfg.nla - 1)
+            w.var("za", "f", ("za",), units="km",
+                  data=middepths(cfg.atmos.hat))
+            w.var("zam", "f", ("zia",), units="km",
+                  data=1e-3 * np.cumsum(cfg.atmos.hat[:-1]))
             for n in _AT_VECNL:
                 w.var(n, "f", ("time", "za"))
+            w.var("atstpos", "i", ("time", "za"), units="gridsquare")
             for n in _AT_VECNI:
                 w.var(n, "f", ("time", "zia"))
             for n in _AT_SCAL:
@@ -359,6 +388,7 @@ class MonitorWriter:
                 vgminoc=rec.cfl.vgminoc_s, vgmaxoc=rec.cfl.vgmaxoc_s,
                 umminoc=rec.cfl.umminoc, ummaxoc=rec.cfl.ummaxoc,
                 vmminoc=rec.cfl.vmminoc, vmmaxoc=rec.cfl.vmmaxoc,
+                ocjpos=m.jetpos, ocjval=m.jetval,
                 **rec.bflux)
             for n, v in vals.items():
                 w.append(n, r, np.asarray(v))
@@ -381,7 +411,8 @@ class MonitorWriter:
                 ugminat=rec.cfl.ugminat_s, ugmaxat=rec.cfl.ugmaxat_s,
                 vgminat=rec.cfl.vgminat_s, vgmaxat=rec.cfl.vgmaxat_s,
                 umminat=rec.cfl.umminat, ummaxat=rec.cfl.ummaxat,
-                vmminat=rec.cfl.vmminat, vmmaxat=rec.cfl.vmmaxat)
+                vmminatat=rec.cfl.vmminat, vmmaxat=rec.cfl.vmmaxat,
+                atstpos=m.jetpos, atstval=m.jetval)
             for n, v in vals.items():
                 w.append(n, r, np.asarray(v))
         self.rec += 1

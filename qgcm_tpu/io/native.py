@@ -16,7 +16,7 @@ import subprocess
 import numpy as np
 
 _LIB = None
-_NC_FLOAT, _NC_DOUBLE = 5, 6
+_NC_INT, _NC_FLOAT, _NC_DOUBLE = 4, 5, 6
 
 
 def _lib_path():
@@ -91,14 +91,19 @@ class NativeNcWriter:
 
     def var(self, name: str, dtype, dims, units=None, long_name=None,
             data=None):
-        xt = _NC_DOUBLE if dtype in ("d", np.float64) else _NC_FLOAT
+        if dtype in ("d", np.float64):
+            xt = _NC_DOUBLE
+        elif dtype in ("i", np.int32):
+            xt = _NC_INT
+        else:
+            xt = _NC_FLOAT
         ids = (ctypes.c_int * len(dims))(
             *[self.dimids[d] for d in dims])
         vid = self.lib.qgnc_def_var(self.h, name.encode(), xt,
                                     len(dims), ids)
         self.varids[name] = vid
-        self.vdtype[name] = np.float64 if xt == _NC_DOUBLE \
-            else np.float32
+        self.vdtype[name] = {_NC_DOUBLE: np.float64, _NC_INT: np.int32,
+                             _NC_FLOAT: np.float32}[xt]
         if units is not None:
             self.lib.qgnc_put_att_text(self.h, vid, b"units",
                                        str(units).encode())

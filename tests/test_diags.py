@@ -77,13 +77,38 @@ def test_monitor_writer_schema(setup, tmp_path):
     w.append(rec, 0.01)
     w.append(rec, 0.02)
     w.close()
+    # complete manifest of the reference monit.nc variable set: every
+    # name defined by an nf_def_var call in monitor_diag.F (incl. the
+    # reference's literal 'vmminatat' typo, :2311) plus coordinates.
+    manifest = """
+        ah2doc ah4dat ah4doc arlaav arocav astmax astmin atstpos
+        atstval btdgoc centat centoc cfraat cfraoc cnmlat cnmloc
+        cnqgat cnqgoc ddtkeat ddtkeoc ddtpeat ddtpeoc emfrat emfroc
+        enamat enamoc entmat entmoc ermasa ermaso et2mat et2moc
+        etamat etamoc hcmlat hfmloc hmlmat kealat kealoc occirc
+        occtot ocjpos ocjval olrtop oradav osfmax osfmin pavgat
+        pavgoc pkenat pkenoc qavgat qavgoc slhfav sstmax sstmin
+        tmaooc tmlmat tmlmoc ttmadn ttmads ttmdfn ttmdfs ugmaxat
+        ugmaxoc ugminat ugminoc ummaxat ummaxoc umminat umminoc
+        utauat utauoc vfmadn vfmads vgmaxat vgmaxoc vgminat vgminoc
+        vmmaxat vmmaxoc vmminatat vmminoc wapmat wapmoc watmat
+        watmoc wepmat wepmoc wetmat wetmoc time zo zom za zam
+    """.split()
     with netcdf_file(str(tmp_path / "monit.nc"), "r", mmap=False) as f:
-        for name in ["kealoc", "kealat", "ddtkeoc", "ddtpeat", "utauoc",
-                     "btdgoc", "ah4doc", "ermaso", "emfrat", "cnqgoc",
-                     "olrtop", "sstmin", "astmax", "occtot"]:
-            assert name in f.variables, name
+        missing = [n for n in manifest if n not in f.variables]
+        assert not missing, f"monit.nc missing vs reference: {missing}"
         assert f.variables["kealoc"].shape == (2, model.cfg.nlo)
         assert np.isfinite(f.variables["utauoc"][:]).all()
+        # jet diagnostics: integer rows within range, speeds finite
+        ojp = f.variables["ocjpos"][:]
+        assert ojp.dtype.kind == "i"
+        assert (ojp >= 1).all() and (ojp <= model.cfg.nyto).all()
+        assert np.isfinite(f.variables["atstval"][:]).all()
+        # mid-layer depth coordinates (monnc_init, monitor_diag.F:2966)
+        hoc = np.asarray(model.cfg.ocean.hoc)
+        np.testing.assert_allclose(
+            f.variables["zo"][:],
+            1e-3 * (np.cumsum(hoc) - 0.5 * hoc), rtol=1e-6)
 
 
 def _np_block_sum_t(f, nsi):
