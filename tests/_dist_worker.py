@@ -1,0 +1,100 @@
+"""Worker process for the 2-process jax.distributed test.
+
+Each process joins the coordinator, builds the SAME ocean-only model,
+shards the state over the GLOBAL (2-host) mesh, runs N steps, and
+reports global scalar reductions (computed inside jit, so they are
+fully replicated and fetchable from every process). Global non-sharded
+I/O is guarded with is_primary() -- the test asserts exactly one
+process wrote the marker.
+
+Usage: python tests/_dist_worker.py <coord> <nproc> <pid> <outdir>
+"""
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "")
+    + " --xla_force_host_platform_device_count=4").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+
+import jax.numpy as jnp  # noqa: E402
+
+from qgcm_tpu.config import ModelConfig, OceanConfig  # noqa: E402
+from qgcm_tpu.model import build_model  # noqa: E402
+from qgcm_tpu.models.ocean import (init_ocean_state,  # noqa: E402
+                                   ocean_forcing_from_mean)
+from qgcm_tpu.models.stepper import make_ocean_only_runner  # noqa: E402
+from qgcm_tpu.generators import eddy_pressure, zero_forcing  # noqa: E402
+from qgcm_tpu.parallel.launch import (distributed_session,  # noqa: E402
+                                      is_primary)
+from qgcm_tpu.parallel.mesh import make_mesh, shard_tree  # noqa: E402
+
+
+def build():
+    cfg = ModelConfig(nxta=24, nyta=24, nxaooc=24, nyaooc=12, ndxr=2,
+                      fnot=5.92e-5, beta=2.08e-11,
+                      ocean=OceanConfig(nlo=2, dxo=20e3, delek=2.0,
+                                        hoc=(800.0, 3200.0),
+                                        gpoc=(0.01,),
+                                        tabsoc=(287.0, 282.0),
+                                        ah2oc=(0.0, 0.0),
+                                        ah4oc=(1e10, 1e10)),
+                      ocean_only=True, cyclic_ocean=False).validate()
+    model = build_model(cfg)
+    st = init_ocean_state(model, po=eddy_pressure(cfg))
+    f = ocean_forcing_from_mean(model, *zero_forcing(cfg))
+    return model, st, f
+
+
+def scalars(st):
+    """Replicated global reductions of the (distributed) final state."""
+    return jax.jit(lambda s: {
+        "po_l2": jnp.sum(s.po ** 2),
+        "po_max": jnp.max(jnp.abs(s.po)),
+        "qo_l2": jnp.sum(s.qo ** 2),
+        "sst_sum": jnp.sum(s.sst),
+        "dpioc": jnp.sum(s.dpioc),
+    })(st)
+
+
+def main():
+    coord, nproc, pid, outdir = (sys.argv[1], int(sys.argv[2]),
+                                 int(sys.argv[3]), sys.argv[4])
+    with distributed_session(coordinator_address=coord,
+                             num_processes=nproc, process_id=pid):
+        assert jax.process_count() == nproc
+        assert len(jax.devices()) == 4 * nproc, len(jax.devices())
+        assert len(jax.local_devices()) == 4
+
+        model, st, f = build()
+        mesh = make_mesh()            # global 2-D mesh over all hosts
+        st = shard_tree(st, mesh)
+        f = shard_tree(f, mesh)
+        out = make_ocean_only_runner(model, mesh=mesh)(st, f, 12)
+
+        # state really is distributed across processes
+        n_local = len(out.sst.addressable_shards)
+        assert n_local < len(jax.devices()), n_local
+
+        vals = {k: float(v) for k, v in scalars(out).items()}
+        vals["primary"] = is_primary()
+        vals["n_local_shards"] = n_local
+        with open(os.path.join(outdir, f"proc{pid}.json"), "w") as fh:
+            json.dump(vals, fh)
+
+        if is_primary():              # global-IO guard under test
+            with open(os.path.join(outdir, "primary_marker"), "w") as fh:
+                fh.write(f"written by process {jax.process_index()}\n")
+
+
+if __name__ == "__main__":
+    main()
