@@ -421,6 +421,47 @@ def _qgostep_pallas(model, state, forcing, entoc):
     return qo_new, qom_new, cyc
 
 
+def _qgstep_consts(model):
+    """The python-float constants tuple shared by the fused qgstep
+    kernels (Pallas and shard_map-halo variants)."""
+    cfg = model.cfg
+    g = model.grids
+    dxom2 = 1.0 / g.dxo**2
+    return (dxom2, cfg.ocean.bccooc * dxom2 / (0.5 * cfg.ocean.bccooc + 1.0),
+            1.0 / (12.0 * g.dxo * g.dyo * cfg.fnot), 1.0 / cfg.fnot,
+            2.0 * cfg.dto,
+            0.5 * (1.0 if cfg.fnot > 0 else -1.0) * cfg.ocean.delek
+            / cfg.ocean.hoc[-1],
+            cfg.sponge.c1_spl, cfg.beta * float(g.yporel[0]),
+            cfg.beta * g.dyo,
+            cfg.fnot / cfg.ocean.hoc[0], cfg.fnot / cfg.ocean.hoc[1])
+
+
+def _qgostep_halo(model, state, forcing, entoc, mesh, variant):
+    """shard_map halo-exchange variant of _qgostep
+    (parallel/halo.qgstep_halo): explicit ppermute halos over the mesh
+    'y' axis, bit-identical update. Cyclic constraint integrals are
+    recomputed from thin wall slices like the Pallas path."""
+    from ..parallel.halo import qgstep_halo
+    cfg = model.cfg
+    cyclic = cfg.cyclic_ocean
+    sponge = cfg.sponge.enabled
+    rspl = (model.r_spl if sponge else jnp.zeros_like(forcing.wekpo))
+    qo_new = qgstep_halo(
+        state.pom, state.po, state.qo, state.qom, forcing.wekpo, entoc,
+        rspl, _qgstep_consts(model), cfg.ocean.ah2oc, cfg.ocean.ah4oc,
+        cyclic=cyclic, sponge=sponge, mesh=mesh, variant=variant)
+    qom_new = state.qo
+    if not cyclic:
+        return qo_new, qom_new, None
+    dxom2 = 1.0 / model.grids.dxo**2
+    bcfaco = cfg.ocean.bccooc * dxom2 / (0.5 * cfg.ocean.bccooc + 1.0)
+    d2s, d2n, d4s, d4n = _edge_d2d4(state.pom, bcfaco, dxom2)
+    cyc = _cyclic_boundary_terms(model, state, forcing, d2s, d2n,
+                                 d4s, d4n)
+    return qo_new, qom_new, cyc
+
+
 # ----------------------------------------------------------------------
 # PV inversion (src/ocisubs.F ocinvq)
 # ----------------------------------------------------------------------
@@ -557,9 +598,14 @@ def _ocinvq(model: Model, state: OceanState, qo_new: jnp.ndarray,
 # Full substep + init helpers
 # ----------------------------------------------------------------------
 
-def make_ocean_step(model: Model):
+def make_ocean_step(model: Model, halo=None):
     """Build the fused ocean substep:
-    oml -> qgostep -> ocinvq -> ocqbdy (main loop q-gcm.F:1222-1255)."""
+    oml -> qgostep -> ocinvq -> ocqbdy (main loop q-gcm.F:1222-1255).
+
+    halo: optional (mesh, variant) pair routing the vorticity step
+    through the explicit shard_map halo-exchange path
+    (parallel/halo.py) instead of GSPMD; variant is 'staged', 'deep'
+    or 'overlap'."""
     cfg = model.cfg
     g = model.grids
     dtype = jnp.dtype(cfg.dtype)
@@ -578,7 +624,12 @@ def make_ocean_step(model: Model):
             (sst_new, sstm_new, entoc, xon1, enis1, enin1,
              cfraoc, centoc) = _oml(model, state, forcing)
 
-        qo_new, qom_new, cyc = _qgostep(model, state, forcing, entoc)
+        if halo is not None:
+            qo_new, qom_new, cyc = _qgostep_halo(
+                model, state, forcing, entoc, halo[0], halo[1])
+        else:
+            qo_new, qom_new, cyc = _qgostep(model, state, forcing,
+                                            entoc)
 
         (po_new, pom_new, dpioc, dpiocp, ocncs, ocncn, ocncsp, ocncnp,
          ermaso, emfroc) = _ocinvq(model, state, qo_new, xon1,

@@ -56,7 +56,8 @@ def average_atmos_levels(st: AtmosState) -> AtmosState:
     )
 
 
-def make_ocean_only_runner(model: Model, jit: bool = True, mesh=None):
+def make_ocean_only_runner(model: Model, jit: bool = True, mesh=None,
+                           halo_variant=None):
     """Returns run(state, forcing, n_steps, step0=0) -> (state, diags).
 
     `step0` is the 0-based index of the first ocean substep taken by
@@ -65,9 +66,14 @@ def make_ocean_only_runner(model: Model, jit: bool = True, mesh=None):
 
     With `mesh`, fields carry 2-D spatial shardings through the scan
     (GSPMD inserts the halo exchanges and spectral-solve transposes
-    over the mesh; see parallel/mesh.py).
+    over the mesh; see parallel/mesh.py). `halo_variant` additionally
+    routes the vorticity stencil chain through the explicit shard_map
+    ppermute halo-exchange path ('staged' | 'deep' | 'overlap',
+    parallel/halo.py).
     """
-    step = make_ocean_step(model)
+    halo = (mesh, halo_variant) if (mesh is not None
+                                    and halo_variant) else None
+    step = make_ocean_step(model, halo=halo)
     if mesh is not None:
         from ..parallel.mesh import constrain_tree
 
