@@ -107,7 +107,8 @@ def cmd_run(args):
 
     res = run_case(params, cfg, outdir, sst_mean=sst_mean,
                    mean_forcing=mean_forcing, verbose=not args.quiet,
-                   qoc_diag=args.qoc_diag, ocavg_days=args.ocavg_days)
+                   qoc_diag=args.qoc_diag, ocavg_days=args.ocavg_days,
+                   profile_dir=args.profile)
     print(f"done: {res.steps_done} steps, t={res.tyrs:.4f} years"
           + (" [ABORTED ON VALIDITY FAILURE]" if res.aborted else ""))
     return 1 if res.aborted else 0
@@ -239,6 +240,10 @@ def main(argv=None):
     pr.add_argument("--ocavg-days", type=float, default=0.0,
                     dest="ocavg_days",
                     help="k247 ocean-average stream interval (days)")
+    pr.add_argument("--profile", metavar="DIR", default=None,
+                    help="trace a steady-state chunk with jax.profiler"
+                         " into DIR and print a per-kernel device-time"
+                         " report")
     add_grid(pr)
     pr.set_defaults(fn=cmd_run)
 

@@ -132,6 +132,16 @@ class ModelConfig:
     # --- numerics ---
     dtype: str = "float64"        # dtype of stepped fields
     use_pallas: bool = False      # fused TPU kernels for the QG step
+    # Box-inversion DST backend: 'auto' picks the MXU sine-matrix
+    # matmul above MATMUL_DST_MIN interior points per axis on float32
+    # TPU runs (measured faster than XLA's FFT there; identical math,
+    # tools/bench_solve.py), FFT otherwise. 'fft'/'matmul' force.
+    solver_transform: str = "auto"
+    # Matmul-DST accumulation: 'highest' (6-pass bf16, accuracy on par
+    # with the f32 FFT) | 'high' (3-pass, ~35% faster solve, rel err
+    # ~6e-5 -- opt in when throughput matters more than the last three
+    # digits of the inversion).
+    solver_precision: str = "highest"
 
     # ------------------------------------------------------------------
     # Derived grid quantities (reference src/parameters_data.F:77-99)

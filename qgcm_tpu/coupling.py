@@ -360,8 +360,10 @@ def _box_mean_to_p(wektaor: jnp.ndarray, ndxr: int, nxpa: int,
 
 def _bilint_ast(coup: Coupling, astm: jnp.ndarray) -> jnp.ndarray:
     """Bilinear astm (nyta,nxta) -> ocean T grid (nyto,nxto)."""
-    wpx = coup.bil_wx_p[None, :]
-    wpy = coup.bil_wy_p[:, None]
+    # jnp.asarray: the weight vectors are host NumPy; a NumPy-NumPy
+    # product would bake four (nyto, nxto) constants into the program
+    wpx = jnp.asarray(coup.bil_wx_p)[None, :]
+    wpy = jnp.asarray(coup.bil_wy_p)[:, None]
     a_mm = astm[coup.bil_jy_m][:, coup.bil_ix_m]
     a_mp = astm[coup.bil_jy_m][:, coup.bil_ix_p]
     a_pm = astm[coup.bil_jy_p][:, coup.bil_ix_m]

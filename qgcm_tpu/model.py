@@ -27,6 +27,7 @@ from .coupling import Coupling, build_coupling
 from .ops.integrals import xintp_weights
 from .solver.helmholtz import (
     BoxHelmholtz, CyclicHelmholtz, make_box_helmholtz, make_cyclic_helmholtz,
+    resolve_transform,
 )
 
 
@@ -194,7 +195,11 @@ def _build_ocean_inversion(cfg: ModelConfig, grids: Grids,
         )
 
     # Finite box (conhoms.F:544-641)
-    helm = make_box_helmholtz(nxpo, nypo, dxo, dyo, modes.rdm2, dtype=dtype)
+    helm = make_box_helmholtz(nxpo, nypo, dxo, dyo, modes.rdm2,
+                              dtype=dtype,
+                              transform=resolve_transform(cfg, nxpo,
+                                                          nypo),
+                              mm_precision=cfg.solver_precision)
     sub = make_box_helmholtz(nxpo, nypo, dxo, dyo, modes.rdm2[1:],
                              dtype=jnp.float64)
     ones = np.ones((nlo - 1, nypo, nxpo))

@@ -583,7 +583,10 @@ def _ocinvq(model: Model, state: OceanState, qo_new: jnp.ndarray,
 
     zero1 = jnp.zeros((1,), dtype)
     coef = jnp.concatenate([zero1, hclco * helm.rdm2[1:]])
-    gyx = helm.gy[None, :, None] * helm.gx[None, None, :]
+    # jnp.asarray before the outer product: helm.gy/gx are host NumPy
+    # and would otherwise broadcast eagerly into a grid-sized constant
+    gyx = (jnp.asarray(helm.gy)[None, :, None]
+           * jnp.asarray(helm.gx)[None, None, :])
     spec = spec + coef[:, None, None] * gyx / helm._denom()
     pm = helm.inverse(spec) \
         + jnp.concatenate([zero1, hclco])[:, None, None]

@@ -71,7 +71,7 @@ class Driver:
                  sst_mean=None, mean_forcing=None, verbose: bool = True,
                  areas_limits: str = None, qoc_diag: bool = False,
                  ocavg_days: float = 0.0, nscvoc: int = 4,
-                 nscvat: int = 2):
+                 nscvat: int = 2, profile_dir: str = None):
         cfg = model.cfg
         self.model = model
         self.p = params
@@ -130,6 +130,7 @@ class Driver:
         self.areas_limits = areas_limits
         self.qoc_diag = qoc_diag
         self.nscvoc, self.nscvat = nscvoc, nscvat
+        self.profile_dir = profile_dir
 
         # static surface fields for single-fluid modes
         self.sst_mean = (jnp.asarray(sst_mean, jnp.dtype(cfg.dtype))
@@ -365,10 +366,27 @@ class Driver:
         oc, at, ofor, afor, oacc, aacc, _ = carry
         aborted = False
         n_done = 0
+        # --profile: trace the third chunk (steady state -- chunk 0
+        # compiles, chunk 1 recompiles for settled array layouts).
+        n_chunks = -(-self.nsteps // self.chunk)
+        prof_chunk = min(2, n_chunks - 1) if self.profile_dir else -1
+        prof_steps = 0
+        i_chunk = 0
         t0 = time.time()
         while n_done < self.nsteps:
             n = min(self.chunk, self.nsteps - n_done)
-            carry = self._chunk_fn(carry, n, None)
+            if i_chunk == prof_chunk:
+                from jax import profiler as _jprof
+                with _jprof.trace(self.profile_dir):
+                    carry = self._chunk_fn(carry, n, None)
+                    jax.block_until_ready(carry)
+                    # a value fetch: a remote backend's
+                    # block_until_ready can return early
+                    float(jnp.ravel(carry[-1])[0])
+                prof_steps = n
+            else:
+                carry = self._chunk_fn(carry, n, None)
+            i_chunk += 1
             n_done += n
             oc, at, ofor, afor, oacc, aacc, _ = carry
             tyrs = tini + n_done * cfg.dta / SECSYR
@@ -482,6 +500,14 @@ class Driver:
         for wtr in (osnap, asnap, monw, areasw, qocw):
             if wtr:
                 wtr.close()
+        if prof_steps:
+            from .profiling import summarize
+            try:
+                self._log(f"profile ({self.profile_dir}):\n"
+                          + summarize(self.profile_dir).report(
+                              steps=prof_steps))
+            except Exception as e:         # trace written, report best-effort
+                self._log(f"profile summary unavailable: {e}")
         return RunResult(ocean=oc if self.has_oc else None,
                          atmos=at if self.has_at else None,
                          steps_done=n_done, tyrs=tyrs, aborted=aborted)

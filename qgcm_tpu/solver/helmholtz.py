@@ -37,6 +37,124 @@ import jax.numpy as jnp
 import numpy as np
 
 
+# FFT-vs-matmul crossover, interior points per axis: measured on v5e
+# (tools/bench_solve.py --sweep), DST-by-FFT wins at 959, the MXU
+# matmul from ~1439 up (21% faster at NAtl 4799, same f32 accuracy).
+MATMUL_DST_MIN = 1200
+
+
+def resolve_transform(cfg, nxp: int, nyp: int) -> str:
+    """Pick the box-DST backend from cfg.solver_transform ('auto'
+    selects matmul for large float32 grids -- the regime where XLA's
+    FFT falls behind the MXU; float64 stays FFT: 6-pass emulation
+    applies only to f32, and f64 runs live on CPU)."""
+    if cfg.solver_transform != "auto":
+        return cfg.solver_transform
+    if cfg.dtype != "float32":
+        return "fft"
+    return ("matmul" if min(nxp - 2, nyp - 2) >= MATMUL_DST_MIN
+            else "fft")
+
+
+def _sine_matrix(n: int, dtype) -> jnp.ndarray:
+    """The (n, n) DST-I matrix S[k,j] = 2 sin(pi (j+1)(k+1)/(n+1)),
+    generated ON THE FLY from iota inside the jitted program: a
+    materialised closure constant would be embedded in the compiled
+    executable (92 MB at NAtl scale) and serialized over remote
+    compile; the sin() generation is a single cheap fusion that XLA
+    hoists out of the scan loop."""
+    j = jax.lax.iota(dtype, n) + 1.0
+    return 2.0 * jnp.sin(
+        jnp.asarray(np.pi / (n + 1), dtype) * j[:, None] * j[None, :])
+
+
+# Below this half-size, stop even/odd splitting: smaller matmuls lose
+# more MXU efficiency than the halved FLOPs gain. Measured on v5e at
+# 4799^2x3 f32: no split 129 ms/solve, one level (2048) 2 levels
+# (1024) 109 ms, three levels (600) 118 ms.
+_MM_SPLIT_MIN = 1024
+
+# f32 matmuls on the MXU run as multi-pass bf16: 'highest' = 6 passes
+# (solve rel err ~1e-6 vs an f64 oracle -- f32-FFT-equivalent),
+# 'high' = 3 passes (~35% faster solve, rel err ~6e-5 -- opt-in via
+# ModelConfig.solver_precision for throughput-over-accuracy runs).
+_PREC = {"highest": jax.lax.Precision.HIGHEST,
+         "high": jax.lax.Precision.HIGH}
+
+
+def _mm(x: jnp.ndarray, K: jnp.ndarray, axis: int, prec) -> jnp.ndarray:
+    """Contract `axis` of x with the FIRST axis of kernel K, keeping
+    the axis order of x. axis=-2 is expressed as a direct dot_general
+    (kernel on the left, x minor dim rides as the GEMM N dimension) so
+    every operand and result keeps the natural x-minor layout -- a
+    swapaxes formulation makes XLA propagate transposed {2,0,1} tile
+    layouts into the surrounding step (measured: +35 ms/step of
+    relayout copies and slow T(4,128) mask passes at NAtl scale)."""
+    if axis in (-1, x.ndim - 1):
+        return jnp.einsum("...j,jk->...k", x, K, precision=prec)
+    assert axis in (-2, x.ndim - 2)
+    return jnp.einsum("jk,...jx->...kx", K, x, precision=prec)
+
+
+def _dst1_mm(x: jnp.ndarray, axis: int,
+             prec=jax.lax.Precision.HIGHEST) -> jnp.ndarray:
+    """DST-I along `axis` (-1 or -2) as MXU matmuls, with a radix-2
+    even/odd symmetry split while the half-size stays MXU-friendly.
+
+    With M = N+1, the part of x symmetric under j -> M-j feeds only
+    ODD wavenumbers through the (m x m) kernel sin(pi j (2t+1)/2m)
+    (m = M/2, midpoint folded in at half weight), and the
+    antisymmetric part feeds EVEN wavenumbers through a half-size
+    DST-I -- which recurses. Each level halves the matmul FLOPs; the
+    arithmetic is the textbook DST-I radix-2 step, expressed as dense
+    half-kernels for the MXU instead of butterflies.
+    """
+    n = x.shape[axis]
+    dt = x.dtype
+    m = (n + 1) // 2
+    if n % 2 == 0 or m < _MM_SPLIT_MIN:
+        return _mm(x, _sine_matrix(n, dt), axis, prec)
+
+    def sl(a, lo, hi):
+        return jax.lax.slice_in_dim(a, lo, hi, axis=axis)
+
+    xf = jnp.flip(x, axis)
+    e = 0.5 * (sl(x, 0, m - 1) + sl(xf, 0, m - 1))
+    o = 0.5 * (sl(x, 0, m - 1) - sl(xf, 0, m - 1))
+    ebar = jnp.concatenate([e, 0.5 * sl(x, m - 1, m)], axis=axis)
+    j = jax.lax.iota(dt, m) + 1.0                       # 1..m
+    t = jax.lax.iota(dt, m)                             # k = 2t+1
+    K1 = jnp.sin(jnp.asarray(np.pi / (2 * m), dt)
+                 * j[:, None] * (2.0 * t[None, :] + 1.0))
+    odd = 4.0 * _mm(ebar, K1, axis, prec)
+    even = 2.0 * _dst1_mm(o, axis, prec)                # DST-I size m-1
+    # interleave odd/even coefficients along `axis`
+    ax = axis if axis >= 0 else x.ndim + axis
+    inter = jnp.stack([sl(odd, 0, m - 1), even], axis=ax + 1)
+    inter = inter.reshape(x.shape[:ax] + (2 * (m - 1),)
+                          + x.shape[ax + 1:])
+    return jnp.concatenate([inter, sl(odd, m - 1, m)], axis=axis)
+
+
+def dst1_matmul(x: jnp.ndarray, axis: int = -1,
+                precision: str = "highest") -> jnp.ndarray:
+    """DST-I as dense sine-kernel products on the MXU
+    (precision HIGHEST = 6-pass bf16, float32-accurate).
+
+    Same transform as `dst1`; at large sizes the MXU runs it well
+    past XLA's FFT (measured on v5e at 4799^2x3 f32: full solve
+    109 ms with the radix split vs 127 ms FFT). Used by
+    BoxHelmholtz(transform='matmul'); crossover picked in model.py.
+    """
+    prec = _PREC[precision]
+    if axis >= 0:
+        axis -= x.ndim
+    if axis in (-1, -2):
+        return _dst1_mm(x, axis, prec)
+    x2 = jnp.moveaxis(x, axis, -1)
+    return jnp.moveaxis(_dst1_mm(x2, -1, prec), -1, axis)
+
+
 def dst1(x: jnp.ndarray, axis: int = -1) -> jnp.ndarray:
     """Unnormalised type-I discrete sine transform along `axis`.
 
@@ -113,21 +231,35 @@ class BoxHelmholtz:
     gy: jnp.ndarray          # (nyp-2,)
     norm: float              # combined inverse-transform normalisation
     denom_inv_np: np.ndarray = None   # float64 host copy (init-time solves)
+    transform: str = "fft"   # 'fft' (odd-extension rfft) | 'matmul' (MXU)
+    mm_precision: str = "highest"     # matmul pass count: highest|high
 
     # The spectral denominators are recomputed on the fly from the O(N)
     # eigenvalue vectors: a (nm, ny, nx) closure constant would be
     # embedded in the compiled program (hundreds of MB at NAtl.1km
     # scale, which also overflows remote-compile payload limits).
+    # The fields are host NumPy (byte-stable programs, no lowering
+    # fetch), so they MUST be wrapped in jnp.asarray before the outer
+    # sum -- NumPy would otherwise broadcast eagerly at trace time and
+    # bake the full (nm, ny, nx) array in as a constant anyway
+    # (tests/test_helmholtz.py::test_no_grid_sized_constants).
     def _denom(self):
-        return (self.lamx[None, None, :] + self.lamy[None, :, None]
-                - self.rdm2[:, None, None])
+        return (jnp.asarray(self.lamx)[None, None, :]
+                + jnp.asarray(self.lamy)[None, :, None]
+                - jnp.asarray(self.rdm2)[:, None, None])
+
+    def _dst2(self, f: jnp.ndarray) -> jnp.ndarray:
+        if self.transform == "matmul":
+            f = dst1_matmul(f, axis=-1, precision=self.mm_precision)
+            return dst1_matmul(f, axis=-2, precision=self.mm_precision)
+        return dst1(dst1(f, axis=-1), axis=-2)
 
     def forward(self, rhs: jnp.ndarray) -> jnp.ndarray:
         """Interior 2-D DST of a p-grid field."""
-        return dst1(dst1(rhs[..., 1:-1, 1:-1], axis=-1), axis=-2)
+        return self._dst2(rhs[..., 1:-1, 1:-1])
 
     def inverse(self, spec: jnp.ndarray) -> jnp.ndarray:
-        sol = dst1(dst1(spec, axis=-1), axis=-2) * self.norm
+        sol = self._dst2(spec) * self.norm
         return jnp.pad(sol, [(0, 0)] * (spec.ndim - 2) + [(1, 1), (1, 1)])
 
     def solve_spec(self, rhs: jnp.ndarray) -> jnp.ndarray:
@@ -166,8 +298,10 @@ class CyclicHelmholtz:
     denom_inv_np: np.ndarray = None   # float64 host copy (init-time solves)
 
     def _denom(self):
-        return (self.lamx[None, None, :] + self.lamy[None, :, None]
-                - self.rdm2[:, None, None])
+        # jnp.asarray: see BoxHelmholtz._denom (eager-NumPy trap)
+        return (jnp.asarray(self.lamx)[None, None, :]
+                + jnp.asarray(self.lamy)[None, :, None]
+                - jnp.asarray(self.rdm2)[:, None, None])
 
     def solve(self, rhs: jnp.ndarray) -> jnp.ndarray:
         # The x-RFFT and y-DST commute; doing the DST on the REAL field
@@ -199,8 +333,14 @@ class CyclicHelmholtz:
 
 
 def make_box_helmholtz(nxp: int, nyp: int, dx: float, dy: float,
-                       rdm2: np.ndarray, dtype=jnp.float64) -> BoxHelmholtz:
-    """rdm2: (nm,) vector of 1/Rd^2 values (0 for barotropic)."""
+                       rdm2: np.ndarray, dtype=jnp.float64,
+                       transform: str = "fft",
+                       mm_precision: str = "highest") -> BoxHelmholtz:
+    """rdm2: (nm,) vector of 1/Rd^2 values (0 for barotropic).
+    transform: 'fft' | 'matmul' (MXU sine-matrix DST; faster than the
+    FFT above ~2000^2 on TPU, see tools/bench_solve.py).
+    mm_precision: 'highest' (6-pass bf16, f32-equivalent accuracy) |
+    'high' (3-pass, ~35% faster, rel err ~6e-5)."""
     nx, ny = nxp - 1, nyp - 1
     k = np.arange(1, nx)                       # x wavenumbers (DST-I)
     l = np.arange(1, ny)                       # y wavenumbers (DST-I)
@@ -218,7 +358,8 @@ def make_box_helmholtz(nxp: int, nyp: int, dx: float, dy: float,
                         rdm2=np.asarray(rdm2, dtype=dtype),
                         gx=np.asarray(gx, dtype=dtype),
                         gy=np.asarray(gy, dtype=dtype),
-                        norm=norm, denom_inv_np=1.0 / denom)
+                        norm=norm, denom_inv_np=1.0 / denom,
+                        transform=transform, mm_precision=mm_precision)
 
 
 def make_cyclic_helmholtz(nxp: int, nyp: int, dx: float, dy: float,

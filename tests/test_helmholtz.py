@@ -96,3 +96,73 @@ def test_spectral_matches_thomas():
     back = np.asarray(dst1(jnp.asarray(tsol), axis=-1)) / (2 * nx)
     np.testing.assert_allclose(sol[0, 1:-1, 1:-1], back,
                                rtol=1e-10, atol=1e-22)
+
+
+def test_matmul_transform_matches_fft():
+    """The MXU sine-matrix DST backend (transform='matmul') must solve
+    the same problem as the FFT backend: identical solution to
+    roundoff, and the same residual exactness. On CPU f64 the two are
+    equal to ~1e-12; on TPU f32 the matmul runs at precision HIGHEST
+    (6-pass bf16) with f32-equivalent accuracy (tools/bench_solve.py
+    measured 4.8e-7 vs the FFT's 5.5e-7 against an f64 oracle)."""
+    rng = np.random.default_rng(7)
+    nxp, nyp = 37, 29
+    dx, dy = 5e3, 5e3
+    rdm2 = np.array([0.0, 2.3e-9, 8.1e-9])
+    rhs = np.zeros((3, nyp, nxp))
+    rhs[:, 1:-1, 1:-1] = rng.standard_normal((3, nyp - 2, nxp - 2))
+
+    fft = make_box_helmholtz(nxp, nyp, dx, dy, rdm2, transform="fft")
+    mm = make_box_helmholtz(nxp, nyp, dx, dy, rdm2,
+                            transform="matmul")
+    a = np.asarray(fft.solve(jnp.asarray(rhs)))
+    b = np.asarray(mm.solve(jnp.asarray(rhs)))
+    scale = np.abs(a).max()
+    assert np.abs(a - b).max() < 1e-11 * scale
+    res = _residual_box(b, rhs, dx, dy, rdm2)
+    assert np.abs(res).max() < 1e-7 * np.abs(rhs).max()
+
+    # forward/inverse pair consistency (used by the box constraint
+    # path: solve_spec + spectral corrections + inverse)
+    sf = np.asarray(fft.forward(jnp.asarray(rhs)))
+    sm = np.asarray(mm.forward(jnp.asarray(rhs)))
+    assert np.abs(sf - sm).max() < 1e-10 * np.abs(sf).max()
+
+
+def test_matmul_radix_split(monkeypatch):
+    """The even/odd radix-2 split inside _dst1_mm (taken only above
+    _MM_SPLIT_MIN in production) must reproduce the plain DST-I at
+    every odd size, through multiple recursion levels, on both the
+    last and the second-to-last axis."""
+    import qgcm_tpu.solver.helmholtz as H
+    monkeypatch.setattr(H, "_MM_SPLIT_MIN", 4)
+    rng = np.random.default_rng(3)
+    for n in (7, 31, 35, 64, 101, 255):
+        x = rng.standard_normal((2, n, 5))
+        for axis in (-1, -2):
+            xa = jnp.asarray(np.swapaxes(x, axis, -1)
+                             if axis == -1 else x)
+            a = np.asarray(dst1(xa, axis=axis))
+            b = np.asarray(H._dst1_mm(xa, axis))
+            assert np.abs(a - b).max() < 1e-13 * np.abs(a).max(), \
+                (n, axis)
+
+
+def test_resolve_transform_auto():
+    """'auto' picks matmul only for large float32 grids."""
+    from dataclasses import dataclass
+    from qgcm_tpu.solver.helmholtz import (resolve_transform,
+                                           MATMUL_DST_MIN)
+
+    @dataclass
+    class C:
+        solver_transform: str = "auto"
+        dtype: str = "float32"
+
+    big = MATMUL_DST_MIN + 2
+    assert resolve_transform(C(), big, big) == "matmul"
+    assert resolve_transform(C(), big, 500) == "fft"
+    assert resolve_transform(C(dtype="float64"), big, big) == "fft"
+    assert resolve_transform(C(solver_transform="fft"), big, big) == "fft"
+    assert resolve_transform(C(solver_transform="matmul"), 40, 40) \
+        == "matmul"

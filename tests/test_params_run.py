@@ -391,3 +391,46 @@ def test_cadence_rounding_warns(tmp_path):
                    name="rbal")
     with pytest.warns(UserWarning, match="valday"):
         Driver(model, p2, str(tmp_path / "b"), verbose=False)
+
+
+def test_driver_profile(tmp_path, capsys):
+    """--profile: the driver traces a steady-state chunk and prints a
+    per-kernel device-time report (profiling.summarize)."""
+    from qgcm_tpu.config import ModelConfig, OceanConfig
+    from qgcm_tpu.run import run_case
+    from qgcm_tpu.generators import eddy_pressure, zero_forcing
+    from qgcm_tpu.model import build_model
+    from qgcm_tpu.models.ocean import init_ocean_state
+    from qgcm_tpu.models.atmos import init_atmos_state
+    from qgcm_tpu.io import save_restart
+    from qgcm_tpu.profiling import summarize
+
+    base = ModelConfig(nxta=24, nyta=24, nxaooc=24, nyaooc=12, ndxr=2,
+                       fnot=5.92e-5, beta=2.08e-11,
+                       ocean_only=True, cyclic_ocean=False)
+    p = RunParams(trun=0.75 / 365.0, dta=150.0, nstr=3, dxo=20.0e3,
+                  delek=0.0, valday=0.25, odiday=0.0, adiday=0.0,
+                  dgnday=0.0, prtday=0.0, resday=0.0, dtavoc=0.0,
+                  dtavat=0.0, ah2oc=(0.0, 0.0), ah4oc=(0.0, 0.0),
+                  tabsoc=(287.0, 282.0), hoc=(800.0, 3.2e20),
+                  gpoc=(0.01,), name="zero")
+    cfg = params_to_config(p, base)
+    model = build_model(cfg)
+    oc = init_ocean_state(model, po=eddy_pressure(cfg))
+    at = init_atmos_state(model, init="rbal")
+    rst = str(tmp_path / "restart_in.nc")
+    save_restart(rst, model, oc, at, 0.0)
+    p.name = rst
+
+    prof = str(tmp_path / "prof")
+    res = run_case(p, base, str(tmp_path / "out"),
+                   mean_forcing=zero_forcing(cfg), verbose=True,
+                   profile_dir=prof)
+    assert not res.aborted
+    out = capsys.readouterr().out
+    assert "device op time" in out and "top ops" in out
+
+    # the trace parses standalone and attributes real device time
+    s = summarize(prof)
+    assert s.total_us > 0
+    assert s.top(3)
