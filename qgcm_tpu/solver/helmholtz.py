@@ -155,6 +155,91 @@ def dst1_matmul(x: jnp.ndarray, axis: int = -1,
     return jnp.moveaxis(_dst1_mm(x2, -1, prec), -1, axis)
 
 
+# ----------------------------------------------------------------------
+# Packed-order split transforms (the BoxHelmholtz 'matmul' hot path)
+#
+# The radix split's natural output is [odd wavenumbers; even packed
+# recursively]; _dst1_mm interleaves it back to wavenumber order, and
+# the inverse pass has to un-interleave -- ~18 ms/step of data
+# formatting + reverse traffic at NAtl scale. Since everything done
+# in spectral space (denominator division, Parseval contractions with
+# gx/gy, rank-one constraint corrections) is diagonal or a full
+# contraction, the solver instead keeps spectra PERMUTED in split
+# order: the O(N) eigenvalue/weight vectors are permuted once at
+# build time (_split_perm), the forward transform skips the
+# interleave, and the inverse applies the exact transpose of the
+# forward algorithm (DST-I is symmetric, so DST o P^T = (P o DST)^T).
+# ----------------------------------------------------------------------
+
+def _split_perm(n: int) -> np.ndarray:
+    """Wavenumber permutation of the packed split order: packed[i] =
+    natural[_split_perm(n)[i]]. Mirrors _dst1_mm_packed's recursion
+    decisions exactly (odd length and half-size >= _MM_SPLIT_MIN)."""
+    m = (n + 1) // 2
+    if n % 2 == 0 or m < _MM_SPLIT_MIN:
+        return np.arange(n)
+    return np.concatenate([2 * np.arange(m),
+                           2 * _split_perm(m - 1) + 1])
+
+
+def _mm_t(y: jnp.ndarray, K: jnp.ndarray, axis: int, prec) -> jnp.ndarray:
+    """Contract `axis` of y with the SECOND axis of K (K^T apply)."""
+    if axis in (-1, y.ndim - 1):
+        return jnp.einsum("...t,jt->...j", y, K, precision=prec)
+    assert axis in (-2, y.ndim - 2)
+    return jnp.einsum("jt,...tx->...jx", K, y, precision=prec)
+
+
+def _odd_kernel(m: int, dtype) -> jnp.ndarray:
+    """(m, m) kernel K1[j, t] = sin(pi (j+1) (2t+1) / 2m)."""
+    j = jax.lax.iota(dtype, m) + 1.0
+    t = jax.lax.iota(dtype, m)
+    return jnp.sin(jnp.asarray(np.pi / (2 * m), dtype)
+                   * j[:, None] * (2.0 * t[None, :] + 1.0))
+
+
+def _dst1_mm_packed(x: jnp.ndarray, axis: int, prec) -> jnp.ndarray:
+    """Split-order DST-I: returns the spectrum permuted by
+    _split_perm (no interleave -- odd block then packed even block)."""
+    n = x.shape[axis]
+    dt = x.dtype
+    m = (n + 1) // 2
+    if n % 2 == 0 or m < _MM_SPLIT_MIN:
+        return _mm(x, _sine_matrix(n, dt), axis, prec)
+
+    def sl(a, lo, hi):
+        return jax.lax.slice_in_dim(a, lo, hi, axis=axis)
+
+    xf = jnp.flip(x, axis)
+    e = 0.5 * (sl(x, 0, m - 1) + sl(xf, 0, m - 1))
+    o = 0.5 * (sl(x, 0, m - 1) - sl(xf, 0, m - 1))
+    ebar = jnp.concatenate([e, 0.5 * sl(x, m - 1, m)], axis=axis)
+    odd = 4.0 * _mm(ebar, _odd_kernel(m, dt), axis, prec)
+    even = 2.0 * _dst1_mm_packed(o, axis, prec)
+    return jnp.concatenate([odd, even], axis=axis)
+
+
+def _idst1_mm_packed(y: jnp.ndarray, axis: int, prec) -> jnp.ndarray:
+    """DST-I of a SPLIT-ORDER spectrum: computes DST(P^T y) as the
+    transpose of _dst1_mm_packed's algorithm (same matmul count; the
+    un-interleave becomes symmetric/antisymmetric reassembly)."""
+    n = y.shape[axis]
+    dt = y.dtype
+    m = (n + 1) // 2
+    if n % 2 == 0 or m < _MM_SPLIT_MIN:
+        return _mm(y, _sine_matrix(n, dt), axis, prec)
+
+    def sl(a, lo, hi):
+        return jax.lax.slice_in_dim(a, lo, hi, axis=axis)
+
+    u = 4.0 * _mm_t(sl(y, 0, m), _odd_kernel(m, dt), axis, prec)
+    v = 2.0 * _idst1_mm_packed(sl(y, m, n), axis, prec)
+    uf, um = sl(u, 0, m - 1), sl(u, m - 1, m)
+    front = 0.5 * (uf + v)
+    back = jnp.flip(0.5 * (uf - v), axis)
+    return jnp.concatenate([front, 0.5 * um, back], axis=axis)
+
+
 def dst1(x: jnp.ndarray, axis: int = -1) -> jnp.ndarray:
     """Unnormalised type-I discrete sine transform along `axis`.
 
@@ -248,18 +333,28 @@ class BoxHelmholtz:
                 + jnp.asarray(self.lamy)[None, :, None]
                 - jnp.asarray(self.rdm2)[:, None, None])
 
-    def _dst2(self, f: jnp.ndarray) -> jnp.ndarray:
+    # With transform='matmul' the spectral space is PERMUTED into the
+    # radix split's packed order (odd block, then even recursively) --
+    # the lamx/lamy/gx/gy vectors are permuted to match at build time,
+    # so denominator division and Parseval contractions are unchanged,
+    # while the transforms skip the interleave/un-interleave passes.
+    def forward(self, rhs: jnp.ndarray) -> jnp.ndarray:
+        """Interior 2-D DST of a p-grid field (packed spectral order
+        under transform='matmul')."""
+        f = rhs[..., 1:-1, 1:-1]
         if self.transform == "matmul":
-            f = dst1_matmul(f, axis=-1, precision=self.mm_precision)
-            return dst1_matmul(f, axis=-2, precision=self.mm_precision)
+            prec = _PREC[self.mm_precision]
+            return _dst1_mm_packed(_dst1_mm_packed(f, -1, prec), -2,
+                                   prec)
         return dst1(dst1(f, axis=-1), axis=-2)
 
-    def forward(self, rhs: jnp.ndarray) -> jnp.ndarray:
-        """Interior 2-D DST of a p-grid field."""
-        return self._dst2(rhs[..., 1:-1, 1:-1])
-
     def inverse(self, spec: jnp.ndarray) -> jnp.ndarray:
-        sol = self._dst2(spec) * self.norm
+        if self.transform == "matmul":
+            prec = _PREC[self.mm_precision]
+            sol = _idst1_mm_packed(_idst1_mm_packed(spec, -1, prec),
+                                   -2, prec) * self.norm
+        else:
+            sol = dst1(dst1(spec, axis=-1), axis=-2) * self.norm
         return jnp.pad(sol, [(0, 0)] * (spec.ndim - 2) + [(1, 1), (1, 1)])
 
     def solve_spec(self, rhs: jnp.ndarray) -> jnp.ndarray:
@@ -352,6 +447,13 @@ def make_box_helmholtz(nxp: int, nyp: int, dx: float, dy: float,
     # DST-I of the ones vector: g[k] = 2 sum_j sin(pi j k/(N+1))
     gx = dst1_np(np.ones((1, nx - 1)))[0]
     gy = dst1_np(np.ones((1, ny - 1)))[0]
+    if transform == "matmul":
+        # Spectral space is in packed split order on the device: the
+        # O(N) vectors follow (denom_inv_np stays natural for the
+        # host-side f64 init solves, which use dst1_np).
+        px, py = _split_perm(nx - 1), _split_perm(ny - 1)
+        lamx, gx = lamx[px], gx[px]
+        lamy, gy = lamy[py], gy[py]
     return BoxHelmholtz(nxp=nxp, nyp=nyp,
                         lamx=np.asarray(lamx, dtype=dtype),
                         lamy=np.asarray(lamy, dtype=dtype),

@@ -148,6 +148,49 @@ def test_matmul_radix_split(monkeypatch):
                 (n, axis)
 
 
+def test_matmul_packed_solver(monkeypatch):
+    """With the split active, the matmul solver keeps spectra in
+    packed order with permuted eigenvalue/weight vectors. The full
+    solve, the Parseval contraction used by the mass constraint, and
+    the rank-one homogeneous correction must all match the FFT
+    backend to roundoff through multiple recursion levels."""
+    import qgcm_tpu.solver.helmholtz as H
+    monkeypatch.setattr(H, "_MM_SPLIT_MIN", 4)
+    rng = np.random.default_rng(11)
+    for nxp, nyp in ((37, 29), (38, 36), (48, 37)):
+        dx, dy = 5e3, 7e3
+        rdm2 = np.array([0.0, 2.3e-9, 8.1e-9])
+        rhs = np.zeros((3, nyp, nxp))
+        rhs[:, 1:-1, 1:-1] = rng.standard_normal((3, nyp - 2, nxp - 2))
+        fft = make_box_helmholtz(nxp, nyp, dx, dy, rdm2,
+                                 transform="fft")
+        mm = make_box_helmholtz(nxp, nyp, dx, dy, rdm2,
+                                transform="matmul")
+        a = np.asarray(fft.solve(jnp.asarray(rhs)))
+        b = np.asarray(mm.solve(jnp.asarray(rhs)))
+        assert np.abs(a - b).max() < 1e-11 * np.abs(a).max(), (nxp, nyp)
+
+        # permutation-invariant Parseval contraction (mass constraint)
+        sf = np.asarray(fft.forward(jnp.asarray(rhs)))
+        sm = np.asarray(mm.forward(jnp.asarray(rhs)))
+        cf = np.einsum("myx,y,x->m", sf, np.asarray(fft.gy),
+                       np.asarray(fft.gx))
+        cm = np.einsum("myx,y,x->m", sm, np.asarray(mm.gy),
+                       np.asarray(mm.gx))
+        np.testing.assert_allclose(cm, cf, rtol=1e-10)
+
+        # rank-one spectral correction + inverse (homogeneous path)
+        def corr(h, s):
+            gyx = np.asarray(h.gy)[None, :, None] \
+                * np.asarray(h.gx)[None, None, :]
+            den = (np.asarray(h.lamx)[None, None, :]
+                   + np.asarray(h.lamy)[None, :, None]
+                   - np.asarray(h.rdm2)[:, None, None])
+            return np.asarray(h.inverse(jnp.asarray(s + gyx / den)))
+        np.testing.assert_allclose(corr(mm, sm), corr(fft, sf),
+                                   rtol=1e-9, atol=1e-20)
+
+
 def test_resolve_transform_auto():
     """'auto' picks matmul only for large float32 grids."""
     from dataclasses import dataclass
