@@ -79,17 +79,31 @@ def make_ocean_only_runner(model: Model, jit: bool = True, mesh=None,
 
     def run(state: OceanState, forcing: OceanForcing, n_steps: int,
             step0=0):
+        def one(st, n):
+            st, _diags = step(st, forcing)
+            return jax.lax.cond(n % OCEAN_AVG_PERIOD == 0,
+                                average_ocean_levels, lambda s: s, st)
+
+        # Two substeps per scan iteration: after one leapfrog substep
+        # the old time level moves carry slot (pom <- po), which XLA's
+        # fixed while-loop buffers can only express as full-field
+        # copies (~10 ms/step at NAtl scale). After TWO substeps every
+        # slot holds a freshly computed value, so the pair-body carries
+        # no slot-permutation copies.
         def body(carry, _):
             st, n = carry
             if mesh is not None:
                 st = constrain_tree(st, mesh)
-            st, _diags = step(st, forcing)
-            st = jax.lax.cond(n % OCEAN_AVG_PERIOD == 0,
-                              average_ocean_levels, lambda s: s, st)
-            return (st, n + 1), None
+            st = one(one(st, n), n + 1)
+            return (st, n + 2), None
 
-        (state, _), _ = jax.lax.scan(
-            body, (state, jnp.asarray(step0)), None, length=n_steps)
+        pairs, rem = divmod(n_steps, 2)
+        (state, n), _ = jax.lax.scan(
+            body, (state, jnp.asarray(step0)), None, length=pairs)
+        if rem:
+            if mesh is not None:
+                state = constrain_tree(state, mesh)
+            state = one(state, n)
         return state
 
     if jit:
