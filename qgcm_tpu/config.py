@@ -131,7 +131,12 @@ class ModelConfig:
 
     # --- numerics ---
     dtype: str = "float64"        # dtype of stepped fields
-    use_pallas: bool = False      # fused TPU kernels for the QG step
+    # Fused Pallas TPU kernel for the ocean QG vorticity step. None =
+    # auto: on for float32 runs on a TPU backend (bit-exact vs the XLA
+    # chain and 8% faster at NAtl 4801^2 scale; at small grids it is
+    # time-neutral), off elsewhere (the CPU interpreter is slow).
+    # Resolved by pallas_enabled() at model build.
+    use_pallas: bool = None
     # Box-inversion DST backend: 'auto' picks the MXU sine-matrix
     # matmul above MATMUL_DST_MIN interior points per axis on float32
     # TPU runs (measured faster than XLA's FFT there; identical math,
@@ -254,6 +259,14 @@ class ModelConfig:
 # ----------------------------------------------------------------------
 # Canonical experiment presets (reference examples/*/)
 # ----------------------------------------------------------------------
+
+def pallas_enabled(cfg: ModelConfig) -> bool:
+    """Resolve ModelConfig.use_pallas (None = auto: float32 on TPU)."""
+    if cfg.use_pallas is not None:
+        return cfg.use_pallas
+    import jax
+    return cfg.dtype == "float32" and jax.default_backend() == "tpu"
+
 
 def double_gyre_ocean_only(**overrides) -> ModelConfig:
     """examples/double_gyre_ocean_only: 3-layer box ocean, 5 km grid,

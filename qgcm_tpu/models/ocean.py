@@ -16,7 +16,7 @@ from typing import NamedTuple
 import jax.numpy as jnp
 import numpy as np
 
-from ..config import ModelConfig
+from ..config import ModelConfig, pallas_enabled
 from ..model import Model
 from ..ops.stencils import (del2_bc, jacobian9, interior_5pt, _wshift,
                             _eshift, _row_mask, _col_mask)
@@ -224,7 +224,7 @@ def _oml(model: Model, state: OceanState, forcing: OceanForcing):
 # ----------------------------------------------------------------------
 
 def _qgostep(model: Model, state: OceanState, forcing: OceanForcing,
-             entoc: jnp.ndarray):
+             entoc: jnp.ndarray, allow_pallas: bool = True):
     """Leapfrog step of the PV equation (7.14). Returns
     (qo_new, qom_new, and the cyclic boundary-constraint integrals)."""
     cfg = model.cfg
@@ -243,7 +243,7 @@ def _qgostep(model: Model, state: OceanState, forcing: OceanForcing,
 
     po, pom, qo, qom = state.po, state.pom, state.qo, state.qom
 
-    if cfg.use_pallas:
+    if allow_pallas and pallas_enabled(cfg):
         return _qgostep_pallas(model, state, forcing, entoc)
 
     # Dissipation operates on the LAGGED pressure (qgosubs.F:88-130)
@@ -601,14 +601,16 @@ def _ocinvq(model: Model, state: OceanState, qo_new: jnp.ndarray,
 # Full substep + init helpers
 # ----------------------------------------------------------------------
 
-def make_ocean_step(model: Model, halo=None):
+def make_ocean_step(model: Model, halo=None, sharded=False):
     """Build the fused ocean substep:
     oml -> qgostep -> ocinvq -> ocqbdy (main loop q-gcm.F:1222-1255).
 
     halo: optional (mesh, variant) pair routing the vorticity step
     through the explicit shard_map halo-exchange path
     (parallel/halo.py) instead of GSPMD; variant is 'staged', 'deep'
-    or 'overlap'."""
+    or 'overlap'. sharded=True (any mesh run) disables the Pallas
+    kernel path: a pallas_call is single-device code and cannot be
+    partitioned by GSPMD."""
     cfg = model.cfg
     g = model.grids
     dtype = jnp.dtype(cfg.dtype)
@@ -632,7 +634,8 @@ def make_ocean_step(model: Model, halo=None):
                 model, state, forcing, entoc, halo[0], halo[1])
         else:
             qo_new, qom_new, cyc = _qgostep(model, state, forcing,
-                                            entoc)
+                                            entoc,
+                                            allow_pallas=not sharded)
 
         (po_new, pom_new, dpioc, dpiocp, ocncs, ocncn, ocncsp, ocncnp,
          ermaso, emfroc) = _ocinvq(model, state, qo_new, xon1,

@@ -73,7 +73,8 @@ def make_ocean_only_runner(model: Model, jit: bool = True, mesh=None,
     """
     halo = (mesh, halo_variant) if (mesh is not None
                                     and halo_variant) else None
-    step = make_ocean_step(model, halo=halo)
+    step = make_ocean_step(model, halo=halo,
+                           sharded=mesh is not None)
     if mesh is not None:
         from ..parallel.mesh import constrain_tree
 
@@ -181,7 +182,7 @@ def make_coupled_runner(model: Model, jit: bool = True, mesh=None):
     """
     from ..coupling import make_xforc
     xforc = make_xforc(model)
-    ostep = make_ocean_step(model)
+    ostep = make_ocean_step(model, sharded=mesh is not None)
     astep = make_atmos_step(model)
     nstr = model.cfg.nstr
     if mesh is not None:

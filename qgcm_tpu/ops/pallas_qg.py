@@ -214,6 +214,12 @@ def qgstep_pallas(pom, po, qo, qom, wekpo, entoc, r_spl, consts,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((nl, nty, TILE_Y, nx),
                                        pom.dtype),
+            # 8 full-width blocks double-buffered exceed the default
+            # 16 MB scoped-VMEM budget at reference-scale nx (v5e has
+            # 128 MB of VMEM; at NAtl 4801-wide rows the blocks total
+            # ~40 MB in flight)
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
             interpret=interpret,
         )(pom_t, po_t, qo_t, qom_t, wek_t, ent_t, rspl_t)
 
