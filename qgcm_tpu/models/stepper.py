@@ -57,7 +57,7 @@ def average_atmos_levels(st: AtmosState) -> AtmosState:
 
 
 def make_ocean_only_runner(model: Model, jit: bool = True, mesh=None,
-                           halo_variant=None):
+                           halo_variant=None, spectral_variant=None):
     """Returns run(state, forcing, n_steps, step0=0) -> (state, diags).
 
     `step0` is the 0-based index of the first ocean substep taken by
@@ -69,10 +69,15 @@ def make_ocean_only_runner(model: Model, jit: bool = True, mesh=None,
     over the mesh; see parallel/mesh.py). `halo_variant` additionally
     routes the vorticity stencil chain through the explicit shard_map
     ppermute halo-exchange path ('staged' | 'deep' | 'overlap',
-    parallel/halo.py).
+    parallel/halo.py). `spectral_variant='a2a'` routes the PV-inversion
+    transforms through explicit all_to_all pencil transposes instead of
+    GSPMD's gathers (parallel/spectral.py).
     """
     halo = (mesh, halo_variant) if (mesh is not None
                                     and halo_variant) else None
+    if mesh is not None and spectral_variant == "a2a":
+        from ..parallel.spectral import wrap_inversions
+        model = wrap_inversions(model, mesh)
     step = make_ocean_step(model, halo=halo,
                            sharded=mesh is not None)
     if mesh is not None:
@@ -170,7 +175,8 @@ def make_atmos_only_runner(model: Model, jit: bool = True):
     return run
 
 
-def make_coupled_runner(model: Model, jit: bool = True, mesh=None):
+def make_coupled_runner(model: Model, jit: bool = True, mesh=None,
+                        spectral_variant=None):
     """Fully coupled ocean-atmosphere stepping (main loop
     q-gcm.F:1220-1491): every atmospheric step runs the atmosphere;
     every nstr-th step first recomputes the forcing (xforc) and takes
@@ -179,8 +185,14 @@ def make_coupled_runner(model: Model, jit: bool = True, mesh=None):
     Returns run(ocean, atmos, n_steps, step0=0) -> (ocean, atmos).
     `n_steps` counts ATMOSPHERIC steps; step0 keeps the coupling and
     averaging cadences aligned across host-side chunks.
+    `spectral_variant='a2a'` routes both fluids' PV-inversion
+    transforms through explicit all_to_all pencil transposes
+    (parallel/spectral.py).
     """
     from ..coupling import make_xforc
+    if mesh is not None and spectral_variant == "a2a":
+        from ..parallel.spectral import wrap_inversions
+        model = wrap_inversions(model, mesh)
     xforc = make_xforc(model)
     ostep = make_ocean_step(model, sharded=mesh is not None)
     astep = make_atmos_step(model)

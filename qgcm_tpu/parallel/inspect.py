@@ -44,16 +44,26 @@ _BYTES = {"bf16": 2, "f16": 2, "f32": 4, "f64": 8, "s8": 1, "s16": 2,
 
 
 def _shape_bytes(line: str) -> int:
-    """Bytes of the FIRST (output) shape on an HLO instruction line."""
-    m = _SHAPE_RE.search(line)
-    if not m:
-        return 0
-    n = 1
-    dims = m.group(2)
-    if dims:
-        for d in dims.split(","):
-            n *= int(d)
-    return n * _BYTES[m.group(1)]
+    """Bytes of the output shape(s) on an HLO instruction line: the
+    segment between '=' and the opcode's '(' -- a single shape, or a
+    tuple of shapes for multi-operand collectives (tuple-form
+    all-to-all), which are summed."""
+    eq = line.find("=")
+    par = line.find("(", eq + 1)
+    seg = line[eq + 1 :]
+    if par > eq and line[eq + 1 : par].strip().startswith("("):
+        close = line.find(")", par)
+        seg = line[eq + 1 : close if close > 0 else None]
+    else:
+        seg = line[eq + 1 : line.find("(", eq + 1)]
+    total = 0
+    for m in _SHAPE_RE.finditer(seg):
+        n = 1
+        if m.group(2):
+            for d in m.group(2).split(","):
+                n *= int(d)
+        total += n * _BYTES[m.group(1)]
+    return total
 
 
 def collective_stats(fn, *args, static_argnames=(),
@@ -68,8 +78,11 @@ def collective_stats(fn, *args, static_argnames=(),
     lines = []
     for line in txt.splitlines():
         s = line.strip()
-        # opcode appears as "<shape> opcode(" after the = sign
-        m = re.search(r"=\s+\S*\s*([a-z-]+)(?:-start|-done)?\(", s)
+        # opcode appears as "<shape> opcode(" after the = sign; the
+        # shape may be a tuple "(f32[..], ..)" for multi-operand
+        # collectives (tuple-form all-to-all), so skip over it first
+        m = re.search(r"=\s+(?:\([^)]*\)|\S*)\s*([a-z-]+)"
+                      r"(?:-start|-done)?\(", s)
         if not m:
             continue
         op = m.group(1)

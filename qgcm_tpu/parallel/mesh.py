@@ -22,12 +22,24 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..state import OceanState, AtmosState, OceanForcing, AtmosForcing
 
 
-def make_mesh(devices: Sequence[jax.Device] | None = None) -> Mesh:
-    """2-D ('y','x') mesh, as square as the device count allows."""
+def make_mesh(devices: Sequence[jax.Device] | None = None,
+              rows_only: bool = False) -> Mesh:
+    """2-D ('y','x') mesh, as square as the device count allows.
+
+    rows_only=True puts every device on the 'y' axis (row-block
+    decomposition, the analogue of the reference's OpenMP-over-j
+    loops).  Prefer it for CYCLIC configurations: the channel stencils'
+    x-wraparound on the odd duplicated-column p-grid makes the
+    partitioner fall back to full-row all-gathers when x is sharded
+    (measured: 40 gathers/scan-iteration at test scale), while with x
+    unsharded the wraparound is local and -- together with
+    spectral_variant='a2a' -- the step's loop body compiles to ZERO
+    all-gathers.  Channel grids are also wide (nx >> ny), so rows are
+    the long-memory axis to split."""
     if devices is None:
         devices = jax.devices()
     n = len(devices)
-    ny = int(math.sqrt(n))
+    ny = n if rows_only else int(math.sqrt(n))
     while n % ny:
         ny -= 1
     import numpy as np

@@ -1,0 +1,173 @@
+"""Explicit all_to_all sharded spectral solves (parallel/spectral.py).
+
+The TPU-native analogue of the reference's OpenMP-parallel
+FFT-x/Thomas-y Helmholtz phases (src/ocisubs.F:460-494,565-605):
+pencil transposes make each transform axis device-local, moving
+O(N^2/P) bytes instead of GSPMD's full-grid all-gathers.  Pinned here:
+numerical equality with the single-device solvers on every mesh
+shape (the chunk-order bookkeeping is shape-dependent), runner-level
+trajectory equality, and the collective footprint of the compiled
+step (no all-gathers left in the scan body)."""
+
+import re
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from qgcm_tpu.config import ModelConfig, OceanConfig
+from qgcm_tpu.model import build_model
+from qgcm_tpu.models.ocean import init_ocean_state, \
+    ocean_forcing_from_mean
+from qgcm_tpu.models.stepper import make_ocean_only_runner
+from qgcm_tpu.generators import eddy_pressure, zero_forcing
+from qgcm_tpu.parallel.mesh import make_mesh, shard_tree
+from qgcm_tpu.parallel.spectral import (ShardedBoxHelmholtz,
+                                        ShardedCyclicHelmholtz)
+from qgcm_tpu.parallel.inspect import collective_stats
+from qgcm_tpu.solver.helmholtz import (make_box_helmholtz,
+                                       make_cyclic_helmholtz)
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8-device CPU mesh")
+
+MESH_SHAPES = [(4, 2), (2, 4), (8, 1), (1, 8)]
+RDM2 = np.array([0.0, 2.3, 7.7])
+
+
+def _mesh(shape):
+    return Mesh(np.asarray(jax.devices()[:8]).reshape(shape),
+                ("y", "x"))
+
+
+@pytest.mark.parametrize("shape", MESH_SHAPES)
+def test_box_solve_matches_single_device(shape):
+    """Every mesh shape exercises different chunk-order bookkeeping
+    (group order of the tiled all_to_alls)."""
+    rng = np.random.default_rng(0)
+    base = make_box_helmholtz(19, 15, 0.7, 0.9, RDM2)
+    sh = ShardedBoxHelmholtz(base, _mesh(shape))
+    rhs = jnp.asarray(rng.standard_normal((3, 15, 19)))
+    a = np.asarray(base.solve(rhs))
+    b = np.asarray(jax.jit(sh.solve)(rhs))
+    assert np.abs(a - b).max() < 1e-13 * np.abs(a).max()
+
+
+@pytest.mark.parametrize("shape", MESH_SHAPES)
+def test_cyclic_solve_matches_single_device(shape):
+    rng = np.random.default_rng(1)
+    base = make_cyclic_helmholtz(17, 15, 0.7, 0.9, RDM2)
+    sh = ShardedCyclicHelmholtz(base, _mesh(shape))
+    rhs = jnp.asarray(rng.standard_normal((3, 15, 17)))
+    rhs = rhs.at[..., -1].set(rhs[..., 0])     # cyclic duplicate col
+    a = np.asarray(base.solve(rhs))
+    b = np.asarray(jax.jit(sh.solve)(rhs))
+    # same local FFT kernels in the same order: bit-exact
+    assert np.abs(a - b).max() < 1e-14 * np.abs(a).max()
+
+
+def test_box_spectrum_padding_is_inert():
+    """solve_spec returns the PADDED spectrum; padded entries are
+    exactly zero and the padded Parseval weights reproduce the
+    unsharded contraction (what _ocinvq's constraint algebra needs)."""
+    rng = np.random.default_rng(2)
+    base = make_box_helmholtz(19, 15, 0.7, 0.9, RDM2)
+    sh = ShardedBoxHelmholtz(base, _mesh((4, 2)))
+    rhs = jnp.asarray(rng.standard_normal((3, 15, 19)))
+    spec = np.asarray(jax.jit(sh.solve_spec)(rhs))
+    assert spec.shape == (3, sh.Yg, sh.Xg)
+    assert np.all(spec[:, sh.nyi:, :] == 0.0)
+    assert np.all(spec[:, :, sh.nxi:] == 0.0)
+    ref = np.asarray(base.solve_spec(rhs))
+    got = np.einsum("myx,y,x->m", spec, sh.gy, sh.gx)
+    want = np.einsum("myx,y,x->m", ref, np.asarray(base.gy),
+                     np.asarray(base.gx))
+    assert np.abs(got - want).max() < 1e-12 * (np.abs(want).max() + 1e-30)
+
+
+def _ocean_setup(cyclic):
+    cfg = ModelConfig(nxta=24, nyta=24, nxaooc=24, nyaooc=12, ndxr=2,
+                      fnot=5.92e-5, beta=2.08e-11,
+                      ocean=OceanConfig(nlo=2, dxo=20e3, delek=2.0,
+                                        hoc=(800.0, 3200.0),
+                                        gpoc=(0.01,),
+                                        tabsoc=(287.0, 282.0),
+                                        ah2oc=(0.0, 0.0),
+                                        ah4oc=(1e10, 1e10)),
+                      ocean_only=True, cyclic_ocean=cyclic).validate()
+    model = build_model(cfg)
+    st = init_ocean_state(model, po=eddy_pressure(cfg))
+    f = ocean_forcing_from_mean(model, *zero_forcing(cfg))
+    return model, st, f
+
+
+@pytest.mark.parametrize("cyclic", [False, True])
+def test_runner_a2a_equivalence(cyclic):
+    """Trajectories through the a2a spectral path match the
+    single-device run (rows-only mesh for the channel: make_mesh
+    docstring)."""
+    model, st, f = _ocean_setup(cyclic)
+    ref = make_ocean_only_runner(model)(st, f, 20)
+    mesh = make_mesh(jax.devices()[:8], rows_only=cyclic)
+    st_sh = shard_tree(st, mesh)
+    f_sh = shard_tree(f, mesh)
+    out = make_ocean_only_runner(model, mesh=mesh,
+                                 spectral_variant="a2a")(st_sh, f_sh, 20)
+    for name in ("po", "qo", "sst", "dpioc"):
+        a = np.asarray(getattr(ref, name))
+        b = np.asarray(getattr(out, name))
+        scale = np.abs(a).max() + 1e-30
+        assert np.abs(a - b).max() < 1e-12 * scale, name
+
+
+def _loop_body_collectives(run, *args):
+    txt = run.lower(*args).compile().as_text()
+    body = max(re.split(r"\n(?=%|ENTRY)", txt), key=len)
+    return {op: len(re.findall(" " + op, body))
+            for op in ("all-gather", "all-to-all", "collective-permute")}
+
+
+@pytest.mark.parametrize("cyclic", [False, True])
+def test_a2a_step_has_no_loop_body_gathers(cyclic):
+    """The north-star communication property: with explicit pencil
+    transposes the compiled scan body contains NO all-gather -- every
+    collective is a halo permute or an O(N^2/P) transpose.  The GSPMD
+    spectral solve gathers full grids every step (12 gathers/iteration
+    for the box at this size)."""
+    model, st, f = _ocean_setup(cyclic)
+    mesh = make_mesh(jax.devices()[:8], rows_only=cyclic)
+    st_sh = shard_tree(st, mesh)
+    f_sh = shard_tree(f, mesh)
+    run = make_ocean_only_runner(model, mesh=mesh,
+                                 spectral_variant="a2a")
+    counts = _loop_body_collectives(run, st_sh, f_sh, 20)
+    assert counts["all-gather"] == 0, counts
+    assert counts["all-to-all"] > 0, counts
+    gspmd = make_ocean_only_runner(model, mesh=mesh)
+    base = _loop_body_collectives(gspmd, st_sh, f_sh, 20)
+    assert base["all-gather"] > 0, base
+
+
+def test_solve_moves_fewer_bytes_than_gspmd():
+    """Per-solve traffic: the pencil path must move strictly less than
+    the GSPMD lowering (measured ~6.5x less at this size)."""
+    rng = np.random.default_rng(3)
+    mesh = _mesh((4, 2))
+    base = make_box_helmholtz(99, 67, 0.7, 0.9, RDM2)
+    sh = ShardedBoxHelmholtz(base, mesh)
+    rhs = jnp.asarray(rng.standard_normal((3, 67, 99)))
+    sharding = NamedSharding(mesh, P(None, "y", "x"))
+
+    def gspmd(r):
+        r = jax.lax.with_sharding_constraint(r, sharding)
+        return jax.lax.with_sharding_constraint(base.solve(r), sharding)
+
+    def a2a(r):
+        r = jax.lax.with_sharding_constraint(r, sharding)
+        return jax.lax.with_sharding_constraint(sh.solve(r), sharding)
+
+    b_gspmd = sum(collective_stats(gspmd, rhs).bytes_moved.values())
+    b_a2a = sum(collective_stats(a2a, rhs).bytes_moved.values())
+    assert b_a2a < 0.5 * b_gspmd, (b_a2a, b_gspmd)
