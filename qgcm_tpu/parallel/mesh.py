@@ -46,6 +46,35 @@ def make_mesh(devices: Sequence[jax.Device] | None = None,
     return Mesh(np.asarray(devices).reshape(ny, n // ny), ("y", "x"))
 
 
+def _group_by_process(devices) -> "np.ndarray":
+    """(n_processes, local_count) device array, rows ordered by
+    process_index. Raises if hosts contribute unequal device counts."""
+    import numpy as np
+    procs = sorted({d.process_index for d in devices})
+    rows = [[d for d in devices if d.process_index == p] for p in procs]
+    if any(len(r) != len(rows[0]) for r in rows):
+        raise ValueError("unequal local device counts across processes")
+    return np.array(rows, dtype=object)
+
+
+def make_hybrid_mesh(devices: Sequence[jax.Device] | None = None,
+                     rows_only: bool = False) -> Mesh:
+    """DCN-aware mesh for multi-host runs (SURVEY 5.8: keep the
+    transform axis intra-slice): processes (hosts) split the 'y' axis
+    and each host's local devices fill 'x'.  The spectral pencil
+    transposes' per-axis all_to_all over 'x' (parallel/spectral.py)
+    then rides ICI only; DCN carries the thin y-halo rows and the
+    unavoidable host-crossing share of the full transpose.
+    rows_only=True stacks local devices on 'y' too (channel configs --
+    see make_mesh)."""
+    if devices is None:
+        devices = jax.devices()
+    arr = _group_by_process(devices)
+    if rows_only:
+        arr = arr.reshape(-1, 1)
+    return Mesh(arr, ("y", "x"))
+
+
 def _field_spec(x) -> P:
     """Spatial fields (>=2 dims, trailing y,x) shard over the mesh;
     small vectors/scalars replicate."""
@@ -58,8 +87,13 @@ def _field_spec(x) -> P:
 
 def _divisible_spec(mesh: Mesh, x) -> P:
     """Like _field_spec but drops mesh axes that do not divide the dim
-    (p-grids are N+1 points; device_put demands exact divisibility --
-    inside jit, `with_sharding_constraint` handles the uneven case)."""
+    (p-grids are N+1 points; device_put demands exact divisibility).
+    NOTE: inside jit, `with_sharding_constraint` on an uneven dim is
+    silently DROPPED by this jax version -- the partitioner still
+    ceil-shards the scan carry internally (verified in
+    tests/test_spectral.py's era, see BENCHMARKS.md), so compute
+    distributes; only program inputs/outputs with uneven dims are
+    replicated, a per-chunk (not per-step) cost."""
     spec = _field_spec(x)
     fixed = tuple(
         ax if (ax is None or x.shape[d] % mesh.shape[ax] == 0) else None
@@ -78,7 +112,10 @@ def shard_tree(tree, mesh: Mesh):
 
 def constrain_tree(tree, mesh: Mesh):
     """In-jit sharding constraints pinning fields to the spatial mesh.
-    Supports uneven (padded) shards -- usable on N+1 p-grids."""
+    On uneven (N+1 p-grid) dims the constraint is a no-op in this jax
+    version (see _divisible_spec note); it still anchors every evenly
+    divisible field, from which the partitioner propagates ceil-block
+    shardings through the p-grid ops."""
     return jax.tree_util.tree_map(
         lambda x: jax.lax.with_sharding_constraint(
             x, NamedSharding(mesh, _field_spec(x))), tree)

@@ -19,43 +19,46 @@ the single-device solvers in solver/helmholtz.py:
 
 Box pipeline (mesh ('y','x'), my x mx devices, P = my*mx):
 
-  blocks (Yg/my,Xg/mx) --a2a('x')------> x-pencils (Yg/P, Xg)  DST-x
-                       --a2a(('y','x'))-> y-pencils (Yg, Xg/P)  DST-y
+  blocks (By,Bx) --a2a('x')------> x-pencils (By2/mx, mx*Bx)  DST-x
+                 --a2a(('y','x'))-> y-pencils (my*By2, Xs/P)   DST-y
   [spectral algebra runs on the y-pencil layout under GSPMD:
    elementwise denominators + O(1) Parseval contractions]
-                       <-- exact mirror transposes on the inverse
+                 <-- exact mirror transposes on the inverse
 
 Four all_to_alls per solve; each transform is applied to a fully-local
 axis, so the FFT/MXU-matmul kernels are the exact single-device ones
 (results match the unsharded solver to ~1e-15 rel; the channel path is
 bit-exact).
 
-The ENTIRE p-grid array rides through the pipeline (padded up to
-multiples of P with zeros on both axes); interior extraction, spectral
-placement and boundary-zero placement all happen inside the pencil
-stage where that axis is LOCAL.  This is deliberate: slicing or
-padding a sharded axis outside shard_map makes GSPMD reshard an uneven
-layout, which it implements as a full-grid all-gather -- measured at
-(3,68,100) f64 gathered per solve on the first cut of this module.
-With full-grid passing the only out-of-shard_map ops are shrink-slices
-of the padding, which are communication-free.
+CEIL-ALIGNED PADDING (the part that makes entry/exit free): shard_map
+demands evenly divisible global shapes, but p-grids are N+1 points and
+the surrounding step keeps them ceil-sharded.  Padding the grid to an
+arbitrary even multiple makes the partitioner RESHARD the uneven
+layout -- on the TPU backend that lowered to an all-gather of the full
+(3,4801,4801) field (~277 MB/device) before the transposes even ran.
+Instead the entry pad target is exactly my*ceil(nyp/my) rows by
+mx*ceil(nxp/mx) cols: the even blocks coincide with the ceil shards,
+so materialising the pad is LOCAL (only the last shard writes zeros)
+and the exit trim is local too.  Every further pad the transposes need
+(block -> a2a-divisible block) is applied inside shard_map where it is
+free, giving a per-block end-padded ("interleaved") global layout;
+the de-interleave/re-interleave are static local slices.  Transform
+lengths are always the TRUE extents -- padding never enters a basis.
 
 Chunk-order bookkeeping: a tiled `all_to_all` concatenates received
 chunks in GROUP order.  For the box chain the first transpose is over
-'x' (the y-chunk index becomes iy*mx + ix), so the full transpose must
-use group order ('y','x') for y to reassemble naturally.  The cyclic
-chain transposes over 'y' first (x-chunk index ix*my + iy) and
-therefore uses group order ('x','y'); its y-pencil chunk held by
-device (iy,ix) is ix*my + iy, which is what the spectral-denominator
-slice indexes.  tests/test_spectral.py pins both orderings on 8x1,
-4x2, 2x4 and 1x8 meshes.
+'x', so the full transpose must use group order ('y','x') for the
+per-block pieces to reassemble in block order; the cyclic chain
+transposes over 'y' first and therefore uses ('x','y'), and its
+y-pencil spectral chunk held by device (iy,ix) is ix*my + iy, which is
+what the denominator slice indexes.  tests/test_spectral.py pins both
+orderings on 8x1, 4x2, 2x4 and 1x8 meshes.
 
-Spectral padding: transform length is part of the basis, so padding
-never enters a transform -- spectra live at offset 0 with zero-filled
-tails, their eigenvalue vectors are padded with 1.0 and the Parseval
-weights gx/gy with 0.0, so padded entries stay exactly zero through
-the constraint algebra in models/ocean._ocinvq (which runs unchanged
-on the padded spectrum).
+Spectral layout: the box spectrum is (nm, nyi, Xs) with Xs =
+pad_up(nxi, P) -- x padded (sharded axis), y true.  Padded columns
+stay exactly zero: their eigenvalue entries are 1.0 and the Parseval
+weights gx are 0.0 there, so the constraint algebra in
+models/ocean._ocinvq runs unchanged on the padded spectrum.
 
 All wrapper fields are host NumPy (never jax Arrays): these objects
 are captured by jitted step closures, and device constants embedded at
@@ -82,6 +85,10 @@ def _pad_up(n: int, mult: int) -> int:
     return -(-n // mult) * mult
 
 
+def _ceil_div(n: int, d: int) -> int:
+    return -(-n // d)
+
+
 def _place(f, axis: int, offset: int, target: int):
     """Embed f along `axis` at `offset` in a zero array of extent
     `target` (axis-local pad: (offset, target - offset - n))."""
@@ -97,14 +104,43 @@ def _pad_vec(v: np.ndarray, target: int, fill: float) -> np.ndarray:
     return out
 
 
+def _block_truesizes(n_true: int, nb: int, B: int) -> list[int]:
+    """True (unpadded) entries in each of nb ceil-blocks of size B."""
+    return [max(0, min(B, n_true - i * B)) for i in range(nb)]
+
+
+def _sl(f, axis, lo, hi):
+    return jax.lax.slice_in_dim(f, lo, hi, axis=axis)
+
+
+def _drop_block_pads(f, axis: int, nb: int, B2: int, sizes) -> jnp.ndarray:
+    """Per-block end-padded layout (nb blocks of B2) -> contiguous true
+    entries (sum(sizes)).  Static local slices."""
+    parts = [_sl(f, axis, i * B2, i * B2 + sizes[i])
+             for i in range(nb) if sizes[i]]
+    return parts[0] if len(parts) == 1 else jnp.concatenate(parts,
+                                                            axis=axis)
+
+
+def _insert_block_pads(f, axis: int, nb: int, B2: int, sizes) -> jnp.ndarray:
+    """Inverse of _drop_block_pads: contiguous -> nb end-padded blocks."""
+    parts, off = [], 0
+    for i in range(nb):
+        seg = _sl(f, axis, off, off + sizes[i])
+        off += sizes[i]
+        parts.append(_place(seg, axis, 0, B2))
+    return parts[0] if len(parts) == 1 else jnp.concatenate(parts,
+                                                            axis=axis)
+
+
 class ShardedBoxHelmholtz:
     """Drop-in replacement for BoxHelmholtz under a 2-D mesh: same
     attribute surface as used by models/ocean._ocinvq (rdm2, gx, gy,
     norm, _denom, forward/inverse/solve_spec/solve), with the 2-D DST
     routed through explicit all_to_all pencil transposes.  Spectra are
-    returned PADDED to (Yg, Xg) in the y-pencil layout
-    P(None, None, ('y','x')); gx/gy/_denom are padded to match, so the
-    spectral constraint algebra is layout- and padding-oblivious."""
+    (nm, nyi, Xs) in the y-pencil layout P(None, None, ('y','x'));
+    gx/_denom are padded to Xs to match, so the spectral constraint
+    algebra is layout- and padding-oblivious."""
 
     def __init__(self, base: BoxHelmholtz, mesh):
         self.base = base
@@ -114,20 +150,24 @@ class ShardedBoxHelmholtz:
         self.nprocs = self.my * self.mx
         self.nxp, self.nyp = base.nxp, base.nyp
         self.nxi, self.nyi = base.nxp - 2, base.nyp - 2
-        self.Xg = _pad_up(self.nxp, self.nprocs)
-        self.Yg = _pad_up(self.nyp, self.nprocs)
+        # ceil-aligned entry blocks (see module docstring)
+        self.By = _ceil_div(self.nyp, self.my)
+        self.Bx = _ceil_div(self.nxp, self.mx)
+        self.By2 = _pad_up(self.By, self.mx)      # a2a('x') split needs
+        self.Xs = _pad_up(self.nxi, self.nprocs)  # spectral x extent
+        self.ysizes = _block_truesizes(self.nyp, self.my, self.By)
         self.transform = base.transform
         self.mm_precision = base.mm_precision
         self.norm = base.norm
         self.rdm2 = base.rdm2
-        # Padded eigenvalue/weight vectors: lam pads with 1.0 (denom
-        # stays nonzero there -- true lam are <= 0 and rdm2 >= 0, so
-        # 2.0 - rdm2 cannot vanish for geophysical rdm2 ~ 1e-9 m^-2);
-        # g pads with 0.0 so Parseval contractions ignore the padding.
-        self.lamx = _pad_vec(np.asarray(base.lamx), self.Xg, 1.0)
-        self.lamy = _pad_vec(np.asarray(base.lamy), self.Yg, 1.0)
-        self.gx = _pad_vec(np.asarray(base.gx), self.Xg, 0.0)
-        self.gy = _pad_vec(np.asarray(base.gy), self.Yg, 0.0)
+        # x-side eigenvalues/weights padded to Xs: lam pads with 1.0
+        # (denominator stays nonzero: true lam are <= 0 and rdm2 >= 0,
+        # so 2.0 - rdm2 cannot vanish for geophysical rdm2 ~ 1e-9);
+        # gx pads with 0.0 so Parseval contractions ignore the padding.
+        self.lamx = _pad_vec(np.asarray(base.lamx), self.Xs, 1.0)
+        self.gx = _pad_vec(np.asarray(base.gx), self.Xs, 0.0)
+        self.lamy = np.asarray(base.lamy)         # true nyi
+        self.gy = np.asarray(base.gy)
 
     # -- local transform kernels (full axis on-device) ----------------
     def _tx(self, f, axis):
@@ -145,47 +185,53 @@ class ShardedBoxHelmholtz:
                 + jnp.asarray(self.lamy)[None, :, None]
                 - jnp.asarray(self.rdm2)[:, None, None])
 
-    def _pad_grid(self, rhs):
-        return _place(_place(rhs, -1, 0, self.Xg), -2, 0, self.Yg)
-
     # -- distributed transforms ---------------------------------------
     def forward(self, rhs: jnp.ndarray) -> jnp.ndarray:
-        """Interior 2-D DST of a p-grid field; returns the PADDED
-        spectrum (nm, Yg, Xg) in the y-pencil layout
-        P(None, None, ('y','x')), spectral content at offset 0."""
-        nxi, nyi, Xg, Yg = self.nxi, self.nyi, self.Xg, self.Yg
+        """Interior 2-D DST of a p-grid field; returns the spectrum
+        (nm, nyi, Xs) in the y-pencil layout P(None, None, ('y','x')),
+        x-content at offset 0."""
+        nxi, nyi, Xs = self.nxi, self.nyi, self.Xs
+        my, mx, By, Bx, By2 = self.my, self.mx, self.By, self.Bx, self.By2
+        nyp, ysizes = self.nyp, self.ysizes
 
         def local(f):
-            # f: (nm, Yg/my, Xg/mx) block of the padded p-grid
-            b = lax.all_to_all(f, "x", 1, 2, tiled=True)   # x-pencil
-            b = _place(self._tx(b[..., 1 : 1 + nxi], -1), -1, 0, Xg)
+            # f: (nm, By, Bx) ceil-aligned block
+            f = _place(f, -2, 0, By2)
+            b = lax.all_to_all(f, "x", 1, 2, tiled=True)  # x-pencil
+            b = _place(self._tx(b[..., 1 : 1 + nxi], -1), -1, 0, Xs)
             c = lax.all_to_all(b, ("y", "x"), 2, 1, tiled=True)
-            return _place(self._tx(c[..., 1 : 1 + nyi, :], -2),
-                          -2, 0, Yg)
+            c = _drop_block_pads(c, -2, my, By2, ysizes)   # (nm,nyp,.)
+            return self._tx(c[..., 1 : 1 + nyi, :], -2)
 
         fn = jax.shard_map(local, mesh=self.mesh,
                            in_specs=P(None, "y", "x"),
                            out_specs=P(None, None, ("y", "x")))
-        return fn(self._pad_grid(rhs))
+        # ceil-aligned global pad: blocks coincide with the ceil shards
+        # the step already uses, so this pad/the exit trim are LOCAL
+        return fn(_place(_place(rhs, -1, 0, mx * Bx), -2, 0, my * By))
 
     def inverse(self, spec: jnp.ndarray) -> jnp.ndarray:
-        """Padded y-pencil spectrum -> p-grid field (zero boundary,
-        already scaled by norm)."""
-        nxi, nyi, Xg, Yg = self.nxi, self.nyi, self.Xg, self.Yg
+        """(nm, nyi, Xs) y-pencil spectrum -> p-grid field (zero
+        boundary, scaled by norm)."""
+        nxi, nyi, Xs = self.nxi, self.nyi, self.Xs
+        my, mx, By, Bx, By2 = self.my, self.mx, self.By, self.Bx, self.By2
+        nyp, nxp, ysizes = self.nyp, self.nxp, self.ysizes
         norm = self.norm
 
         def local(s):
-            # s: (nm, Yg, Xg/P) y-pencil; interior rows land at
-            # offset 1 (zero Dirichlet boundary rows/cols built in)
-            c = _place(self._itx(s[..., :nyi, :], -2), -2, 1, Yg)
+            # s: (nm, nyi, Xs/P) y-pencil
+            c = _place(self._itx(s, -2), -2, 1, nyp)
+            c = _insert_block_pads(c, -2, my, By2, ysizes)
             b = lax.all_to_all(c, ("y", "x"), 1, 2, tiled=True)
-            b = _place(norm * self._itx(b[..., :nxi], -1), -1, 1, Xg)
-            return lax.all_to_all(b, "x", 2, 1, tiled=True)
+            b = _place(norm * self._itx(b[..., :nxi], -1), -1, 1,
+                       mx * Bx)
+            a = lax.all_to_all(b, "x", 2, 1, tiled=True)
+            return a[..., :By, :]                 # drop local y pad
 
         fn = jax.shard_map(local, mesh=self.mesh,
                            in_specs=P(None, None, ("y", "x")),
                            out_specs=P(None, "y", "x"))
-        return fn(spec)[..., : self.nyp, : self.nxp]
+        return fn(spec)[..., : self.nyp, : self.nxp]   # local trim
 
     def solve_spec(self, rhs: jnp.ndarray) -> jnp.ndarray:
         return self.forward(rhs) / self._denom()
@@ -209,26 +255,32 @@ class ShardedCyclicHelmholtz:
         self.nxp, self.nyp = base.nxp, base.nyp
         self.nx = base.nxp - 1            # distinct cyclic columns
         self.nyi = base.nyp - 2
-        self.Xg = _pad_up(self.nxp, self.nprocs)
-        self.Yg = _pad_up(self.nyp, self.nprocs)
+        self.By = _ceil_div(self.nyp, self.my)
+        self.Bx = _ceil_div(self.nxp, self.mx)
+        self.Bx2 = _pad_up(self.Bx, self.my)      # a2a('y') split
+        self.Ys = _pad_up(self.nyi, self.nprocs)  # spectral y extent
+        self.xsizes = _block_truesizes(self.nxp, self.mx, self.Bx)
         self.norm = base.norm
         self.rdm2 = np.asarray(base.rdm2)
         self.lamx = np.asarray(base.lamx)            # (nx//2+1,) full
-        self.lamy = _pad_vec(np.asarray(base.lamy), self.Yg, 1.0)
+        self.lamy = _pad_vec(np.asarray(base.lamy), self.Ys, 1.0)
 
     def solve(self, rhs: jnp.ndarray) -> jnp.ndarray:
-        nx, nyi, Xg, Yg = self.nx, self.nyi, self.Xg, self.Yg
-        my, nP, norm = self.my, self.nprocs, self.norm
-        Yc = Yg // nP
+        nx, nyi, Ys = self.nx, self.nyi, self.Ys
+        my, mx, By, Bx, Bx2 = self.my, self.mx, self.By, self.Bx, self.Bx2
+        nyp, nxp, xsizes = self.nyp, self.nxp, self.xsizes
+        nP, norm = self.nprocs, self.norm
+        Yc = Ys // nP
         dtype = rhs.dtype
 
         def local(f):
-            # f: (nm, Yg/my, Xg/mx) block.  Group order ('x','y')
-            # throughout: the first transpose is over 'y', which tags
-            # x chunks ix*my + iy -- see module docstring.
+            # f: (nm, By, Bx) block.  Group order ('x','y') throughout:
+            # the first transpose is over 'y' -- see module docstring.
+            f = _place(f, -1, 0, Bx2)
             b = lax.all_to_all(f, "y", 2, 1, tiled=True)   # y-pencil
-            b = _place(dst1(b[..., 1 : 1 + nyi, :], axis=-2), -2, 0, Yg)
+            b = _place(dst1(b[..., 1 : 1 + nyi, :], axis=-2), -2, 0, Ys)
             c = lax.all_to_all(b, ("x", "y"), 1, 2, tiled=True)
+            c = _drop_block_pads(c, -1, mx, Bx2, xsizes)   # (.,.,nxp)
             spec = jnp.fft.rfft(c[..., :nx], axis=-1)
             r = lax.axis_index("x") * my + lax.axis_index("y")
             lamy_c = lax.dynamic_slice_in_dim(
@@ -237,21 +289,21 @@ class ShardedCyclicHelmholtz:
                      + lamy_c[None, :, None]
                      - jnp.asarray(self.rdm2)[:, None, None])
             sy = jnp.fft.irfft(spec / denom, n=nx, axis=-1).astype(dtype)
-            # cyclic duplicate column nxp-1 = column 0, built here
+            # cyclic duplicate column nxp-1 = column 0, rebuilt here
             # while x is local
             sy = jnp.concatenate([sy, sy[..., :1]], axis=-1)
-            d = lax.all_to_all(_place(sy, -1, 0, Xg),
-                               ("x", "y"), 2, 1, tiled=True)
-            d = _place(norm * dst1(d[..., :nyi, :], axis=-2), -2, 1, Yg)
-            return lax.all_to_all(d, "y", 1, 2, tiled=True)
-
-        def pad_grid(r):
-            return _place(_place(r, -1, 0, Xg), -2, 0, Yg)
+            sy = _insert_block_pads(sy, -1, mx, Bx2, xsizes)
+            d = lax.all_to_all(sy, ("x", "y"), 2, 1, tiled=True)
+            d = _place(norm * dst1(d[..., :nyi, :], axis=-2), -2, 1,
+                       my * By)
+            e = lax.all_to_all(d, "y", 1, 2, tiled=True)
+            return e[..., :Bx]                    # drop local x pad
 
         fn = jax.shard_map(local, mesh=self.mesh,
                            in_specs=P(None, "y", "x"),
                            out_specs=P(None, "y", "x"))
-        return fn(pad_grid(rhs))[..., : self.nyp, : self.nxp]
+        out = fn(_place(_place(rhs, -1, 0, mx * Bx), -2, 0, my * By))
+        return out[..., : self.nyp, : self.nxp]        # local trim
 
 
 def wrap_inversions(model, mesh):

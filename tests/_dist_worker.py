@@ -36,7 +36,7 @@ from qgcm_tpu.models.stepper import make_ocean_only_runner  # noqa: E402
 from qgcm_tpu.generators import eddy_pressure, zero_forcing  # noqa: E402
 from qgcm_tpu.parallel.launch import (distributed_session,  # noqa: E402
                                       is_primary)
-from qgcm_tpu.parallel.mesh import make_mesh, shard_tree  # noqa: E402
+from qgcm_tpu.parallel.mesh import make_hybrid_mesh, shard_tree  # noqa: E402
 
 
 def build():
@@ -76,10 +76,15 @@ def main():
         assert len(jax.local_devices()) == 4
 
         model, st, f = build()
-        mesh = make_mesh()            # global 2-D mesh over all hosts
+        # DCN-aware placement: hosts split 'y', local devices fill 'x'
+        # (parallel/mesh.make_hybrid_mesh), and the PV inversion goes
+        # through the explicit all_to_all pencil solvers.
+        mesh = make_hybrid_mesh()
+        assert mesh.shape["y"] == nproc, dict(mesh.shape)
         st = shard_tree(st, mesh)
         f = shard_tree(f, mesh)
-        out = make_ocean_only_runner(model, mesh=mesh)(st, f, 12)
+        out = make_ocean_only_runner(model, mesh=mesh,
+                                     spectral_variant="a2a")(st, f, 12)
 
         # state really is distributed across processes
         n_local = len(out.sst.addressable_shards)

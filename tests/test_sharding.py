@@ -80,6 +80,30 @@ def test_coupled_sharding_equivalence():
         assert np.abs(a - b).max() < 1e-11 * scale, name
 
 
+def test_hybrid_mesh_groups_hosts_on_y():
+    """make_hybrid_mesh puts processes on 'y' (DCN) and local devices
+    on 'x' (ICI) so the spectral a2a('x') stage stays intra-host."""
+    from types import SimpleNamespace
+    from qgcm_tpu.parallel.mesh import make_hybrid_mesh, \
+        _group_by_process
+
+    fakes = [SimpleNamespace(process_index=p, id=p * 4 + i)
+             for p in (0, 1) for i in range(4)]
+    arr = _group_by_process(fakes)
+    assert arr.shape == (2, 4)
+    assert [d.process_index for d in arr[:, 0]] == [0, 1]
+
+    with pytest.raises(ValueError):
+        _group_by_process(fakes[:5])   # 4 + 1 local devices
+
+    # single-process world: all devices land on 'x' (and on 'y' with
+    # rows_only)
+    mesh = make_hybrid_mesh(jax.devices()[:8])
+    assert dict(mesh.shape) == {"y": 1, "x": 8}
+    mesh = make_hybrid_mesh(jax.devices()[:8], rows_only=True)
+    assert dict(mesh.shape) == {"y": 8, "x": 1}
+
+
 def test_sharded_layout_is_distributed():
     """The carried state really is split over devices (not silently
     replicated): each shard's addressable piece is smaller than the

@@ -77,8 +77,7 @@ def test_box_spectrum_padding_is_inert():
     sh = ShardedBoxHelmholtz(base, _mesh((4, 2)))
     rhs = jnp.asarray(rng.standard_normal((3, 15, 19)))
     spec = np.asarray(jax.jit(sh.solve_spec)(rhs))
-    assert spec.shape == (3, sh.Yg, sh.Xg)
-    assert np.all(spec[:, sh.nyi:, :] == 0.0)
+    assert spec.shape == (3, sh.nyi, sh.Xs)
     assert np.all(spec[:, :, sh.nxi:] == 0.0)
     ref = np.asarray(base.solve_spec(rhs))
     got = np.einsum("myx,y,x->m", spec, sh.gy, sh.gx)
