@@ -190,17 +190,28 @@ def _mm_t(y: jnp.ndarray, K: jnp.ndarray, axis: int, prec) -> jnp.ndarray:
     return jnp.einsum("jt,...tx->...jx", K, y, precision=prec)
 
 
-def _odd_kernel(m: int, dtype) -> jnp.ndarray:
-    """(m, m) kernel K1[j, t] = sin(pi (j+1) (2t+1) / 2m)."""
+def _odd_kernel2(m: int, dtype) -> jnp.ndarray:
+    """(m, m) kernel K2[j, t] = 2 sin(pi (j+1) (2t+1) / 2m).  The
+    factor 2 absorbs the textbook radix step's 4 * K1 * (0.5-weighted
+    symmetric parts): with K2 the packed transforms below need NO
+    standalone scale or halving passes (profiled: the 0.5/2.0/4.0
+    elementwise passes and full-length flips cost ~8 ms per NAtl f32
+    solve)."""
     j = jax.lax.iota(dtype, m) + 1.0
     t = jax.lax.iota(dtype, m)
-    return jnp.sin(jnp.asarray(np.pi / (2 * m), dtype)
-                   * j[:, None] * (2.0 * t[None, :] + 1.0))
+    return 2.0 * jnp.sin(jnp.asarray(np.pi / (2 * m), dtype)
+                         * j[:, None] * (2.0 * t[None, :] + 1.0))
 
 
 def _dst1_mm_packed(x: jnp.ndarray, axis: int, prec) -> jnp.ndarray:
     """Split-order DST-I: returns the spectrum permuted by
-    _split_perm (no interleave -- odd block then packed even block)."""
+    _split_perm (no interleave -- odd block then packed even block).
+
+    Scale-free formulation: with xf/xb the front half and the REVERSED
+    back half (only n/2 elements flipped), odd = K2 @ [xf+xb; x_mid]
+    and even = packedDST(xf - xb) -- by linearity this equals the
+    textbook 4*K1*(0.5(xf+xb)) / 2*DST(0.5(xf-xb)) form with every
+    elementwise scale folded into the generated kernel."""
     n = x.shape[axis]
     dt = x.dtype
     m = (n + 1) // 2
@@ -210,19 +221,20 @@ def _dst1_mm_packed(x: jnp.ndarray, axis: int, prec) -> jnp.ndarray:
     def sl(a, lo, hi):
         return jax.lax.slice_in_dim(a, lo, hi, axis=axis)
 
-    xf = jnp.flip(x, axis)
-    e = 0.5 * (sl(x, 0, m - 1) + sl(xf, 0, m - 1))
-    o = 0.5 * (sl(x, 0, m - 1) - sl(xf, 0, m - 1))
-    ebar = jnp.concatenate([e, 0.5 * sl(x, m - 1, m)], axis=axis)
-    odd = 4.0 * _mm(ebar, _odd_kernel(m, dt), axis, prec)
-    even = 2.0 * _dst1_mm_packed(o, axis, prec)
+    xf = sl(x, 0, m - 1)
+    xb = jnp.flip(sl(x, m, n), axis)
+    ebar = jnp.concatenate([xf + xb, sl(x, m - 1, m)], axis=axis)
+    odd = _mm(ebar, _odd_kernel2(m, dt), axis, prec)
+    even = _dst1_mm_packed(xf - xb, axis, prec)
     return jnp.concatenate([odd, even], axis=axis)
 
 
 def _idst1_mm_packed(y: jnp.ndarray, axis: int, prec) -> jnp.ndarray:
     """DST-I of a SPLIT-ORDER spectrum: computes DST(P^T y) as the
-    transpose of _dst1_mm_packed's algorithm (same matmul count; the
-    un-interleave becomes symmetric/antisymmetric reassembly)."""
+    exact transpose of _dst1_mm_packed's algorithm (same matmul count;
+    the un-interleave becomes symmetric/antisymmetric reassembly):
+    u = K2^T y_odd, v = packedIDST(y_even), result =
+    [u_front + v; u_mid; rev(u_front - v)]."""
     n = y.shape[axis]
     dt = y.dtype
     m = (n + 1) // 2
@@ -232,12 +244,11 @@ def _idst1_mm_packed(y: jnp.ndarray, axis: int, prec) -> jnp.ndarray:
     def sl(a, lo, hi):
         return jax.lax.slice_in_dim(a, lo, hi, axis=axis)
 
-    u = 4.0 * _mm_t(sl(y, 0, m), _odd_kernel(m, dt), axis, prec)
-    v = 2.0 * _idst1_mm_packed(sl(y, m, n), axis, prec)
+    u = _mm_t(sl(y, 0, m), _odd_kernel2(m, dt), axis, prec)
+    v = _idst1_mm_packed(sl(y, m, n), axis, prec)
     uf, um = sl(u, 0, m - 1), sl(u, m - 1, m)
-    front = 0.5 * (uf + v)
-    back = jnp.flip(0.5 * (uf - v), axis)
-    return jnp.concatenate([front, 0.5 * um, back], axis=axis)
+    return jnp.concatenate([uf + v, um, jnp.flip(uf - v, axis)],
+                           axis=axis)
 
 
 def dst1(x: jnp.ndarray, axis: int = -1) -> jnp.ndarray:
