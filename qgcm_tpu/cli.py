@@ -105,10 +105,30 @@ def cmd_run(args):
     if cfg.atmos_only:
         sst_mean = read_mean_sst(avpath)
 
+    mesh = None
+    if args.mesh:
+        import jax
+        from .parallel.mesh import make_mesh, make_hybrid_mesh
+        if args.mesh == "hybrid":
+            mesh = make_hybrid_mesh(rows_only=cfg.cyclic_ocean)
+        elif args.mesh == "rows":
+            mesh = make_mesh(rows_only=True)
+        elif args.mesh == "auto":
+            # channel configs decompose by rows (make_mesh docstring)
+            mesh = make_mesh(rows_only=cfg.cyclic_ocean)
+        else:
+            import numpy as np
+            from jax.sharding import Mesh
+            ny, nx = (int(v) for v in args.mesh.split("x"))
+            mesh = Mesh(np.asarray(jax.devices()[: ny * nx])
+                        .reshape(ny, nx), ("y", "x"))
+        print(f"mesh: {dict(mesh.shape)} over {mesh.devices.size} "
+              "devices (a2a spectral solvers)")
+
     res = run_case(params, cfg, outdir, sst_mean=sst_mean,
                    mean_forcing=mean_forcing, verbose=not args.quiet,
                    qoc_diag=args.qoc_diag, ocavg_days=args.ocavg_days,
-                   profile_dir=args.profile)
+                   profile_dir=args.profile, mesh=mesh)
     print(f"done: {res.steps_done} steps, t={res.tyrs:.4f} years"
           + (" [ABORTED ON VALIDITY FAILURE]" if res.aborted else ""))
     return 1 if res.aborted else 0
@@ -240,6 +260,12 @@ def main(argv=None):
     pr.add_argument("--ocavg-days", type=float, default=0.0,
                     dest="ocavg_days",
                     help="k247 ocean-average stream interval (days)")
+    pr.add_argument("--mesh", default=None, metavar="auto|rows|hybrid|NYxNX",
+                    help="run on a device mesh: 'auto' (rows for "
+                         "channel configs, square box otherwise), "
+                         "'rows' (y-only decomposition), 'hybrid' "
+                         "(multi-host: hosts on y, local chips on x), "
+                         "or an explicit NYxNX shape")
     pr.add_argument("--profile", metavar="DIR", default=None,
                     help="trace a steady-state chunk with jax.profiler"
                          " into DIR and print a per-kernel device-time"

@@ -71,9 +71,22 @@ class Driver:
                  sst_mean=None, mean_forcing=None, verbose: bool = True,
                  areas_limits: str = None, qoc_diag: bool = False,
                  ocavg_days: float = 0.0, nscvoc: int = 4,
-                 nscvat: int = 2, profile_dir: str = None):
+                 nscvat: int = 2, profile_dir: str = None,
+                 mesh=None, spectral_variant: str = "a2a",
+                 halo_variant: str = None):
+        """mesh: optional jax.sharding.Mesh ('y','x') for multi-chip
+        runs -- the physics chunk carries 2-D spatial shardings and,
+        with spectral_variant='a2a' (default), routes the PV-inversion
+        transforms through the explicit all_to_all pencil solvers
+        (parallel/spectral.py); halo_variant optionally routes the
+        ocean vorticity stencil through the shard_map ppermute path
+        (parallel/halo.py). I/O and event diagnostics are unchanged
+        (writers gather to host at cadence boundaries only)."""
         cfg = model.cfg
         self.model = model
+        self.mesh = mesh
+        self.spectral_variant = spectral_variant
+        self.halo_variant = halo_variant
         self.p = params
         self.outdir = outdir
         self.verbose = verbose
@@ -146,8 +159,22 @@ class Driver:
         nstr = cfg.nstr
         has_oc, has_at = self.has_oc, self.has_at
 
-        ostep = make_ocean_step(model) if has_oc else None
-        astep = make_atmos_step(model) if has_at else None
+        mesh = self.mesh
+        step_model = model
+        constrain = None
+        if mesh is not None:
+            from .parallel.mesh import constrain_tree
+            constrain = constrain_tree
+            if self.spectral_variant == "a2a":
+                from .parallel.spectral import wrap_inversions
+                step_model = wrap_inversions(model, mesh)
+
+        halo = ((mesh, self.halo_variant)
+                if (mesh is not None and self.halo_variant) else None)
+        ostep = make_ocean_step(step_model, halo=halo,
+                                sharded=mesh is not None) \
+            if has_oc else None
+        astep = make_atmos_step(step_model) if has_at else None
         if has_at:
             from .coupling import make_xforc
             xforc = make_xforc(model)
@@ -160,6 +187,11 @@ class Driver:
 
             def cycle(c_carry, _):
                 oc, at, ofor, afor, oacc, aacc, c = c_carry
+                if constrain is not None:
+                    if has_oc:
+                        oc = constrain(oc, mesh)
+                    if has_at:
+                        at = constrain(at, mesh)
                 if has_at and has_oc:        # coupled
                     ofor, afor, _ = xforc(at.pam, oc.pom, oc.sstm,
                                           at.astm, at.hmixam)
@@ -363,6 +395,12 @@ class Driver:
         # data itself, and uncommitted inputs avoid a remote-backend
         # wedge observed with explicitly device_put-committed arrays.
         carry = jax.tree_util.tree_map(np.asarray, carry)
+        if self.mesh is not None and self.mesh.devices.size > 1:
+            # Multi-chip run: place the initial state distributed
+            # (evenly divisible fields; the chunk's constraints settle
+            # the N+1 p-grids -- parallel/mesh.py notes).
+            from .parallel.mesh import shard_tree
+            carry = shard_tree(carry, self.mesh)
         oc, at, ofor, afor, oacc, aacc, _ = carry
         aborted = False
         n_done = 0

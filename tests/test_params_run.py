@@ -160,6 +160,58 @@ def test_driver_ocean_only(tmp_path):
         assert np.isfinite(f.variables["uptpoc"][:]).all()
 
 
+def test_driver_mesh_run_matches_single_device(tmp_path):
+    """The production Driver on a device mesh (a2a spectral solvers,
+    sharded chunk carry) writes the same trajectory as the
+    single-device run -- multi-chip runs go through the same driver,
+    cadences and writers (replacing the reference's single-node-only
+    job, src/cntl_q-gcm:8)."""
+    import jax
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device CPU mesh")
+    from qgcm_tpu.config import ModelConfig
+    from qgcm_tpu.run import run_case
+    from qgcm_tpu.generators import eddy_pressure, zero_forcing
+    from qgcm_tpu.model import build_model
+    from qgcm_tpu.models.ocean import init_ocean_state
+    from qgcm_tpu.io import save_restart
+    from qgcm_tpu.models.atmos import init_atmos_state
+    from qgcm_tpu.parallel.mesh import make_mesh
+
+    base = ModelConfig(nxta=24, nyta=24, nxaooc=24, nyaooc=12, ndxr=2,
+                       fnot=5.92e-5, beta=2.08e-11,
+                       ocean_only=True, cyclic_ocean=True)
+    p = RunParams(trun=0.5 / 365.0, dta=150.0, nstr=3, dxo=20.0e3,
+                  delek=0.0, valday=0.125, odiday=0.0, adiday=0.0,
+                  dgnday=0.25, prtday=0.0, resday=0.25, dtavoc=0.25,
+                  dtavat=0.0, ah2oc=(0.0, 0.0), ah4oc=(0.0, 0.0),
+                  tabsoc=(287.0, 282.0), hoc=(800.0, 3.2e20),
+                  gpoc=(0.01,), name="zero")
+    cfg = params_to_config(p, base)
+    model = build_model(cfg)
+    oc = init_ocean_state(model, po=eddy_pressure(cfg))
+    at = init_atmos_state(model, init="rbal")
+    rst = str(tmp_path / "restart_in.nc")
+    save_restart(rst, model, oc, at, 0.0)
+    p.name = rst
+
+    ref = run_case(p, base, str(tmp_path / "ref"),
+                   mean_forcing=zero_forcing(cfg), verbose=False)
+    mesh = make_mesh(jax.devices()[:8], rows_only=True)
+    out = run_case(p, base, str(tmp_path / "mesh"),
+                   mean_forcing=zero_forcing(cfg), verbose=False,
+                   mesh=mesh)
+    assert not ref.aborted and not out.aborted
+    a, b = np.asarray(ref.ocean.po), np.asarray(out.ocean.po)
+    assert np.abs(a - b).max() < 1e-12 * np.abs(a).max()
+    a, b = np.asarray(ref.ocean.sst), np.asarray(out.ocean.sst)
+    assert np.abs(a - b).max() < 1e-12 * (np.abs(a).max() + 1e-30)
+    from scipy.io import netcdf_file
+    with netcdf_file(str(tmp_path / "mesh" / "monit.nc"), "r",
+                     mmap=False) as f:
+        assert np.isfinite(f.variables["kealoc"][:]).all()
+
+
 def test_driver_full_diagnostics(tmp_path):
     """Coupled driver run with covariance, area boxes, qocdiag and the
     k247 ocean-average stream all enabled."""
