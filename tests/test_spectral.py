@@ -68,6 +68,23 @@ def test_cyclic_solve_matches_single_device(shape):
     assert np.abs(a - b).max() < 1e-14 * np.abs(a).max()
 
 
+@pytest.mark.parametrize("shape", [(4, 2), (1, 8)])
+def test_box_solve_matmul_transform_sharded(shape):
+    """The MXU matmul (packed split-order) transform also rides the
+    pencil pipeline -- the production path for large f32 TPU grids.
+    Forced here at small size on the CPU mesh: the permuted
+    eigenvalue/weight vectors must stay consistent with the packed
+    spectra across the transposes."""
+    rng = np.random.default_rng(4)
+    base = make_box_helmholtz(21, 17, 0.7, 0.9, RDM2,
+                              transform="matmul")
+    sh = ShardedBoxHelmholtz(base, _mesh(shape))
+    rhs = jnp.asarray(rng.standard_normal((3, 17, 21)))
+    a = np.asarray(base.solve(rhs))
+    b = np.asarray(jax.jit(sh.solve)(rhs))
+    assert np.abs(a - b).max() < 1e-12 * np.abs(a).max()
+
+
 def test_box_spectrum_padding_is_inert():
     """solve_spec returns the PADDED spectrum; padded entries are
     exactly zero and the padded Parseval weights reproduce the
