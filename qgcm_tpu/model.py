@@ -27,7 +27,7 @@ from .coupling import Coupling, build_coupling
 from .ops.integrals import xintp_weights
 from .solver.helmholtz import (
     BoxHelmholtz, CyclicHelmholtz, make_box_helmholtz, make_cyclic_helmholtz,
-    resolve_transform,
+    resolve_transform, resolve_ytransform,
 )
 
 
@@ -176,7 +176,10 @@ def _build_ocean_inversion(cfg: ModelConfig, grids: Grids,
 
     if cfg.cyclic_ocean:
         helm = make_cyclic_helmholtz(nxpo, nypo, dxo, dyo, modes.rdm2,
-                                     dtype=dtype)
+                                     dtype=dtype,
+                                     ytransform=resolve_ytransform(
+                                         cfg, nypo),
+                                     mm_precision=cfg.solver_precision)
         (pbh, pch1, pch2, hbsi, aipbh, aipch,
          hc1s, hc2s, hc1n, hc2n) = _channel_homogeneous(
             helm, nypo, nxpo, grids.ypo, modes.rdm2, dxo, dyo, wop,
@@ -231,7 +234,9 @@ def _build_atmos_inversion(cfg: ModelConfig, grids: Grids,
     nxpa, nypa = cfg.nxpa, cfg.nypa
     dxa, dya = grids.dxa, grids.dya
     helm = make_cyclic_helmholtz(nxpa, nypa, dxa, dya, modes.rdm2,
-                                 dtype=dtype)
+                                 dtype=dtype,
+                                 ytransform=resolve_ytransform(cfg, nypa),
+                                 mm_precision=cfg.solver_precision)
     (pbh, pch1, pch2, hbsi, aipbh, aipch,
      hc1s, hc2s, hc1n, hc2n) = _channel_homogeneous(
         helm, nypa, nxpa, grids.ypa, modes.rdm2, dxa, dya, wap,

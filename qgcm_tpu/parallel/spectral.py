@@ -263,7 +263,21 @@ class ShardedCyclicHelmholtz:
         self.norm = base.norm
         self.rdm2 = np.asarray(base.rdm2)
         self.lamx = np.asarray(base.lamx)            # (nx//2+1,) full
+        # base.lamy is already in packed split order under matmul-y;
+        # the local _ydst emits that same order at offsets 0..nyi-1.
         self.lamy = _pad_vec(np.asarray(base.lamy), self.Ys, 1.0)
+        self.ytransform = base.ytransform
+        self.mm_precision = base.mm_precision
+
+    def _ydst(self, f):
+        if self.ytransform == "matmul":
+            return _dst1_mm_packed(f, -2, _PREC[self.mm_precision])
+        return dst1(f, axis=-2)
+
+    def _iydst(self, f):
+        if self.ytransform == "matmul":
+            return _idst1_mm_packed(f, -2, _PREC[self.mm_precision])
+        return dst1(f, axis=-2)
 
     def solve(self, rhs: jnp.ndarray) -> jnp.ndarray:
         nx, nyi, Ys = self.nx, self.nyi, self.Ys
@@ -278,7 +292,7 @@ class ShardedCyclicHelmholtz:
             # the first transpose is over 'y' -- see module docstring.
             f = _place(f, -1, 0, Bx2)
             b = lax.all_to_all(f, "y", 2, 1, tiled=True)   # y-pencil
-            b = _place(dst1(b[..., 1 : 1 + nyi, :], axis=-2), -2, 0, Ys)
+            b = _place(self._ydst(b[..., 1 : 1 + nyi, :]), -2, 0, Ys)
             c = lax.all_to_all(b, ("x", "y"), 1, 2, tiled=True)
             c = _drop_block_pads(c, -1, mx, Bx2, xsizes)   # (.,.,nxp)
             spec = jnp.fft.rfft(c[..., :nx], axis=-1)
@@ -294,7 +308,7 @@ class ShardedCyclicHelmholtz:
             sy = jnp.concatenate([sy, sy[..., :1]], axis=-1)
             sy = _insert_block_pads(sy, -1, mx, Bx2, xsizes)
             d = lax.all_to_all(sy, ("x", "y"), 2, 1, tiled=True)
-            d = _place(norm * dst1(d[..., :nyi, :], axis=-2), -2, 1,
+            d = _place(norm * self._iydst(d[..., :nyi, :]), -2, 1,
                        my * By)
             e = lax.all_to_all(d, "y", 1, 2, tiled=True)
             return e[..., :Bx]                    # drop local x pad

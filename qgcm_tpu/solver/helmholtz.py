@@ -37,10 +37,15 @@ import jax.numpy as jnp
 import numpy as np
 
 
-# FFT-vs-matmul crossover, interior points per axis: measured on v5e
-# (tools/bench_solve.py --sweep), DST-by-FFT wins at 959, the MXU
-# matmul from ~1439 up (21% faster at NAtl 4799, same f32 accuracy).
-MATMUL_DST_MIN = 1200
+# FFT-vs-matmul crossover, interior points per axis. Round 1 measured
+# the UNSPLIT sine-matrix matmul (tools/bench_solve.py --sweep): FFT
+# won at 959, matmul from ~1439. With the packed scale-folded radix
+# kernels at _MM_SPLIT_MIN=480 (tools/bench_packed_sweep.py, v5e) the
+# matmul wins at every size measured: 575 (2.17 vs 2.40 ms/solve),
+# 767 (3.07 vs 4.24), 959 (2.42 vs 3.53), 1919 (7.17 vs 14.43),
+# 4799 (77.8 vs 127.6) -- so the crossover sits below the smallest
+# production box grid. Sizes under 512 are untested; leave them on FFT.
+MATMUL_DST_MIN = 512
 
 
 def resolve_transform(cfg, nxp: int, nyp: int) -> str:
@@ -56,6 +61,19 @@ def resolve_transform(cfg, nxp: int, nyp: int) -> str:
             else "fft")
 
 
+def resolve_ytransform(cfg, nyp: int) -> str:
+    """Pick the cyclic-channel y-DST backend (the x axis is always
+    RFFT).  Same policy as resolve_transform, keyed on the y extent
+    alone: measured on v5e at the southern-ocean channel (4609x577x3
+    f32) the matmul-y solve runs 10.2 -> 6.4 ms (same ~8e-7 accuracy
+    vs the f64 oracle)."""
+    if cfg.solver_transform != "auto":
+        return cfg.solver_transform
+    if cfg.dtype != "float32":
+        return "fft"
+    return "matmul" if nyp - 2 >= MATMUL_DST_MIN else "fft"
+
+
 def _sine_matrix(n: int, dtype) -> jnp.ndarray:
     """The (n, n) DST-I matrix S[k,j] = 2 sin(pi (j+1)(k+1)/(n+1)),
     generated ON THE FLY from iota inside the jitted program: a
@@ -69,10 +87,15 @@ def _sine_matrix(n: int, dtype) -> jnp.ndarray:
 
 
 # Below this half-size, stop even/odd splitting: smaller matmuls lose
-# more MXU efficiency than the halved FLOPs gain. Measured on v5e at
-# 4799^2x3 f32: no split 129 ms/solve, one level (2048) 2 levels
-# (1024) 109 ms, three levels (600) 118 ms.
-_MM_SPLIT_MIN = 1024
+# more MXU efficiency than the halved FLOPs gain. The round-2
+# interleave-based kernels measured best at 1024; with the packed
+# scale-folded kernels (no per-level glue passes) deeper splits win
+# at every production size (tools/bench_packed_sweep.py, v5e f32
+# ms/solve):  959: 480->2.42 vs 1024->2.80;  1919: 480->7.17 vs
+# 1024->12.14;  4799: 480->77.8 vs 1024->80.6 (300: 79.0).  Accuracy
+# IMPROVES with depth (smaller GEMMs accumulate less bf16 error:
+# 8.2e-7 vs 1.2e-6 rel at 959 against the f64 oracle).
+_MM_SPLIT_MIN = 480
 
 # f32 matmuls on the MXU run as multi-pass bf16: 'highest' = 6 passes
 # (solve rel err ~1e-6 vs an f64 oracle -- f32-FFT-equivalent),
@@ -398,16 +421,31 @@ class CyclicHelmholtz:
     nxp: int
     nyp: int
     lamx: jnp.ndarray        # (nx//2+1,) rfft eigenvalues
-    lamy: jnp.ndarray        # (nyp-2,)
+    lamy: jnp.ndarray        # (nyp-2,) (packed split order if matmul-y)
     rdm2: jnp.ndarray        # (nm,)
     norm: float
     denom_inv_np: np.ndarray = None   # float64 host copy (init-time solves)
+    ytransform: str = "fft"  # y-DST backend: 'fft' | 'matmul' (MXU)
+    mm_precision: str = "highest"
 
     def _denom(self):
         # jnp.asarray: see BoxHelmholtz._denom (eager-NumPy trap)
         return (jnp.asarray(self.lamx)[None, None, :]
                 + jnp.asarray(self.lamy)[None, :, None]
                 - jnp.asarray(self.rdm2)[:, None, None])
+
+    # With ytransform='matmul' the y spectrum is in the radix split's
+    # PACKED order (lamy permuted to match at build time); the order is
+    # purely internal to solve() -- forward and inverse cancel.
+    def _ydst(self, f):
+        if self.ytransform == "matmul":
+            return _dst1_mm_packed(f, -2, _PREC[self.mm_precision])
+        return dst1(f, axis=-2)
+
+    def _iydst(self, f):
+        if self.ytransform == "matmul":
+            return _idst1_mm_packed(f, -2, _PREC[self.mm_precision])
+        return dst1(f, axis=-2)
 
     def solve(self, rhs: jnp.ndarray) -> jnp.ndarray:
         # The x-RFFT and y-DST commute; doing the DST on the REAL field
@@ -416,11 +454,11 @@ class CyclicHelmholtz:
         # ~3x on the 4608x576 southern-ocean channel).
         nx = self.nxp - 1
         interior = rhs[..., 1:-1, :nx]
-        sy = dst1(interior, axis=-2)
+        sy = self._ydst(interior)
         spec = jnp.fft.rfft(sy, axis=-1)
         spec = spec / self._denom()
         sy = jnp.fft.irfft(spec, n=nx, axis=-1).astype(rhs.dtype)
-        sol = dst1(sy, axis=-2) * self.norm
+        sol = self._iydst(sy) * self.norm
         sol = jnp.concatenate([sol, sol[..., :1]], axis=-1)
         return jnp.pad(sol, [(0, 0)] * (rhs.ndim - 2) + [(1, 1), (0, 0)])
 
@@ -476,8 +514,14 @@ def make_box_helmholtz(nxp: int, nyp: int, dx: float, dy: float,
 
 
 def make_cyclic_helmholtz(nxp: int, nyp: int, dx: float, dy: float,
-                          rdm2: np.ndarray,
-                          dtype=jnp.float64) -> CyclicHelmholtz:
+                          rdm2: np.ndarray, dtype=jnp.float64,
+                          ytransform: str = "fft",
+                          mm_precision: str = "highest",
+                          ) -> CyclicHelmholtz:
+    """ytransform: 'fft' | 'matmul' (MXU sine-matrix DST along y; the
+    x axis is always RFFT).  With 'matmul' the device-side y spectrum
+    stays in packed split order -- lamy is permuted here to match
+    (denom_inv_np stays natural for the host-side f64 init solves)."""
     nx, ny = nxp - 1, nyp - 1
     k = np.arange(nx // 2 + 1)                 # rfft wavenumbers
     l = np.arange(1, ny)
@@ -486,8 +530,12 @@ def make_cyclic_helmholtz(nxp: int, nyp: int, dx: float, dy: float,
     denom = (lamx[None, None, :] + lamy[None, :, None]
              - np.asarray(rdm2)[:, None, None])
     norm = 1.0 / (2.0 * ny)                    # rfft/irfft self-normalising
+    if ytransform == "matmul":
+        lamy = lamy[_split_perm(ny - 1)]
     return CyclicHelmholtz(nxp=nxp, nyp=nyp,
                            lamx=np.asarray(lamx, dtype=dtype),
                            lamy=np.asarray(lamy, dtype=dtype),
                            rdm2=np.asarray(rdm2, dtype=dtype),
-                           norm=norm, denom_inv_np=1.0 / denom)
+                           norm=norm, denom_inv_np=1.0 / denom,
+                           ytransform=ytransform,
+                           mm_precision=mm_precision)

@@ -209,3 +209,44 @@ def test_resolve_transform_auto():
     assert resolve_transform(C(solver_transform="fft"), big, big) == "fft"
     assert resolve_transform(C(solver_transform="matmul"), 40, 40) \
         == "matmul"
+
+
+def test_cyclic_matmul_y_matches_fft(monkeypatch):
+    """ytransform='matmul' (MXU sine-kernel DST along y, packed split
+    order with permuted lamy) must reproduce the FFT-y channel solve
+    to roundoff through multiple recursion levels."""
+    import qgcm_tpu.solver.helmholtz as H
+    monkeypatch.setattr(H, "_MM_SPLIT_MIN", 4)
+    rng = np.random.default_rng(13)
+    for nxp, nyp in ((33, 30), (48, 37), (24, 66)):
+        dx, dy = 5e3, 7e3
+        rdm2 = np.array([0.0, 2.3e-9, 8.1e-9])
+        rhs = np.zeros((3, nyp, nxp))
+        rhs[:, 1:-1, :-1] = rng.standard_normal((3, nyp - 2, nxp - 1))
+        rhs[:, :, -1] = rhs[:, :, 0]                # cyclic duplicate
+        fft = make_cyclic_helmholtz(nxp, nyp, dx, dy, rdm2)
+        mm = make_cyclic_helmholtz(nxp, nyp, dx, dy, rdm2,
+                                   ytransform="matmul")
+        a = np.asarray(fft.solve(jnp.asarray(rhs)))
+        b = np.asarray(mm.solve(jnp.asarray(rhs)))
+        assert np.abs(a - b).max() < 1e-11 * np.abs(a).max(), (nxp, nyp)
+
+
+def test_resolve_ytransform_auto():
+    """'auto' picks the matmul y-DST only for large float32 channels."""
+    from dataclasses import dataclass
+    from qgcm_tpu.solver.helmholtz import (resolve_ytransform,
+                                           MATMUL_DST_MIN)
+
+    @dataclass
+    class C:
+        solver_transform: str = "auto"
+        dtype: str = "float32"
+
+    big = MATMUL_DST_MIN + 2
+    assert resolve_ytransform(C(), big) == "matmul"
+    assert resolve_ytransform(C(), 100) == "fft"
+    assert resolve_ytransform(C(dtype="float64"), big) == "fft"
+    assert resolve_ytransform(C(solver_transform="fft"), big) == "fft"
+    assert resolve_ytransform(C(solver_transform="matmul"), 40) \
+        == "matmul"

@@ -187,3 +187,23 @@ def test_solve_moves_fewer_bytes_than_gspmd():
     b_gspmd = sum(collective_stats(gspmd, rhs).bytes_moved.values())
     b_a2a = sum(collective_stats(a2a, rhs).bytes_moved.values())
     assert b_a2a < 0.5 * b_gspmd, (b_a2a, b_gspmd)
+
+
+@pytest.mark.parametrize("shape", [(4, 2), (1, 8)])
+def test_cyclic_solve_matmul_y_sharded(shape, monkeypatch):
+    """ytransform='matmul' (packed split-order y spectra, permuted
+    lamy) must survive the pencil transposes: the per-chunk lamy slice
+    indexes the PERMUTED vector, which only works if the local packed
+    DST emits exactly the order the build-time permutation assumed.
+    _MM_SPLIT_MIN is forced low so recursion levels are exercised."""
+    import qgcm_tpu.solver.helmholtz as H
+    monkeypatch.setattr(H, "_MM_SPLIT_MIN", 4)
+    rng = np.random.default_rng(9)
+    base = make_cyclic_helmholtz(17, 34, 0.7, 0.9, RDM2,
+                                 ytransform="matmul")
+    sh = ShardedCyclicHelmholtz(base, _mesh(shape))
+    rhs = jnp.asarray(rng.standard_normal((3, 34, 17)))
+    rhs = rhs.at[..., -1].set(rhs[..., 0])     # cyclic duplicate col
+    a = np.asarray(base.solve(rhs))
+    b = np.asarray(jax.jit(sh.solve)(rhs))
+    assert np.abs(a - b).max() < 1e-12 * np.abs(a).max()
