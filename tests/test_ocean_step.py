@@ -168,3 +168,26 @@ def test_anticyclone_beta_drifts_southwest():
     assert i1 < i0 - 0.3, (i0, i1)
     # the eddy survives (amplitude decays only slowly)
     assert np.asarray(st.po[0]).max() > 0.6 * np.asarray(st0.po[0]).max()
+
+
+@pytest.mark.parametrize("case", ["box", "cyclic"])
+def test_matmul_solver_trajectory_matches_fft(case, monkeypatch):
+    """Model-level wiring check for solver_transform='matmul': a short
+    run must reproduce the FFT-solver trajectory to roundoff, in both
+    domains, with the radix split forced active (the production TPU
+    path; solver-level equality alone would miss a permuted-vector /
+    constraint-algebra mismatch in _ocinvq)."""
+    import qgcm_tpu.solver.helmholtz as H
+    monkeypatch.setattr(H, "_MM_SPLIT_MIN", 4)
+    mk = small_box_cfg if case == "box" else small_cyclic_cfg
+    states = {}
+    for tr in ("fft", "matmul"):
+        cfg = mk(solver_transform=tr)
+        model, state, forcing = _setup(cfg)
+        run = make_ocean_only_runner(model)
+        states[tr] = run(state, forcing, 24)
+    a, b = states["fft"], states["matmul"]
+    for name in ("po", "qo", "sst"):
+        x, y = np.asarray(getattr(a, name)), np.asarray(getattr(b, name))
+        scale = np.abs(x).max()
+        assert np.abs(x - y).max() <= 1e-10 * scale, (case, name)
