@@ -569,9 +569,14 @@ def _ocinvq(model: Model, state: OceanState, qo_new: jnp.ndarray,
     # reference's precomputed ochom FIELD (conhoms.F:544-641) would be
     # a grid-sized constant baked into the compiled program.
     helm = inv.helm
-    spec = helm.solve_spec(wrk)
+    fwd = helm.forward(wrk)
+    denom = helm._denom()
+    # fwd/denom is NOT materialised: the divide fuses into this
+    # reduction, and the corrected spectrum below is built from fwd in
+    # one pass -- materialising solve_spec() and then correcting it
+    # costs a second full-field read+write (~3 ms/step at NAtl scale).
     xinhom = helm.norm * jnp.einsum(
-        "myx,y,x->m", spec, helm.gy, helm.gx,
+        "myx,y,x->m", fwd / denom, helm.gy, helm.gx,
         precision="highest") * g.dxo * g.dyo
 
     aient = jnp.zeros(nlo - 1, dtype=dtype).at[0].set(xon1)
@@ -587,7 +592,7 @@ def _ocinvq(model: Model, state: OceanState, qo_new: jnp.ndarray,
     # and would otherwise broadcast eagerly into a grid-sized constant
     gyx = (jnp.asarray(helm.gy)[None, :, None]
            * jnp.asarray(helm.gx)[None, None, :])
-    spec = spec + coef[:, None, None] * gyx / helm._denom()
+    spec = (fwd + coef[:, None, None] * gyx) / denom
     pm = helm.inverse(spec) \
         + jnp.concatenate([zero1, hclco])[:, None, None]
     po_new = jnp.einsum("km,myx->kyx", cm2l, pm, precision="highest")

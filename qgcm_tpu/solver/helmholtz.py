@@ -214,16 +214,32 @@ def _mm_t(y: jnp.ndarray, K: jnp.ndarray, axis: int, prec) -> jnp.ndarray:
 
 
 def _odd_kernel2(m: int, dtype) -> jnp.ndarray:
-    """(m, m) kernel K2[j, t] = 2 sin(pi (j+1) (2t+1) / 2m).  The
-    factor 2 absorbs the textbook radix step's 4 * K1 * (0.5-weighted
-    symmetric parts): with K2 the packed transforms below need NO
-    standalone scale or halving passes (profiled: the 0.5/2.0/4.0
-    elementwise passes and full-length flips cost ~8 ms per NAtl f32
-    solve)."""
-    j = jax.lax.iota(dtype, m) + 1.0
+    """(m-1, m) kernel K2[j, t] = 2 sin(pi (j+1) (2t+1) / 2m) for
+    j = 1..m-1.  The factor 2 absorbs the textbook radix step's
+    4 * K1 * (0.5-weighted symmetric parts): with K2 the packed
+    transforms below need NO standalone scale or halving passes
+    (profiled: the 0.5/2.0/4.0 elementwise passes and full-length
+    flips cost ~8 ms per NAtl f32 solve).
+
+    The midpoint row j = m is NOT in the kernel: its entries are
+    2 sin(pi (2t+1)/2) = 2 (-1)^t exactly, so the midpoint column's
+    contribution is applied as a fused elementwise epilogue
+    (_mid_signs) instead of a full-array concat feeding the GEMM --
+    the ebar assembly copy was ~1.5 ms/step at NAtl scale, and the
+    elementwise f32 path is also exact where the bf16 GEMM rounds."""
+    j = jax.lax.iota(dtype, m - 1) + 1.0
     t = jax.lax.iota(dtype, m)
     return 2.0 * jnp.sin(jnp.asarray(np.pi / (2 * m), dtype)
                          * j[:, None] * (2.0 * t[None, :] + 1.0))
+
+
+def _mid_signs(m: int, dtype, axis: int, ndim: int) -> jnp.ndarray:
+    """2 (-1)^t, t = 0..m-1, shaped to broadcast along `axis`."""
+    t = jax.lax.iota(dtype, m)
+    s = 2.0 - 4.0 * (t % 2.0)
+    if axis in (-2, ndim - 2):
+        return s[:, None]
+    return s
 
 
 def _dst1_mm_packed(x: jnp.ndarray, axis: int, prec) -> jnp.ndarray:
@@ -246,8 +262,8 @@ def _dst1_mm_packed(x: jnp.ndarray, axis: int, prec) -> jnp.ndarray:
 
     xf = sl(x, 0, m - 1)
     xb = jnp.flip(sl(x, m, n), axis)
-    ebar = jnp.concatenate([xf + xb, sl(x, m - 1, m)], axis=axis)
-    odd = _mm(ebar, _odd_kernel2(m, dt), axis, prec)
+    odd = (_mm(xf + xb, _odd_kernel2(m, dt), axis, prec)
+           + sl(x, m - 1, m) * _mid_signs(m, dt, axis, x.ndim))
     even = _dst1_mm_packed(xf - xb, axis, prec)
     return jnp.concatenate([odd, even], axis=axis)
 
@@ -267,9 +283,11 @@ def _idst1_mm_packed(y: jnp.ndarray, axis: int, prec) -> jnp.ndarray:
     def sl(a, lo, hi):
         return jax.lax.slice_in_dim(a, lo, hi, axis=axis)
 
-    u = _mm_t(sl(y, 0, m), _odd_kernel2(m, dt), axis, prec)
+    yo = sl(y, 0, m)
+    uf = _mm_t(yo, _odd_kernel2(m, dt), axis, prec)
+    um = jnp.sum(yo * _mid_signs(m, dt, axis, y.ndim), axis=axis,
+                 keepdims=True)
     v = _idst1_mm_packed(sl(y, m, n), axis, prec)
-    uf, um = sl(u, 0, m - 1), sl(u, m - 1, m)
     return jnp.concatenate([uf + v, um, jnp.flip(uf - v, axis)],
                            axis=axis)
 
