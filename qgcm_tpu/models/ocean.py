@@ -569,15 +569,47 @@ def _ocinvq(model: Model, state: OceanState, qo_new: jnp.ndarray,
     # reference's precomputed ochom FIELD (conhoms.F:544-641) would be
     # a grid-sized constant baked into the compiled program.
     helm = inv.helm
-    fwd = helm.forward(wrk)
-    denom = helm._denom()
-    # fwd/denom is NOT materialised: the divide fuses into this
-    # reduction, and the corrected spectrum below is built from fwd in
-    # one pass -- materialising solve_spec() and then correcting it
-    # costs a second full-field read+write (~3 ms/step at NAtl scale).
-    xinhom = helm.norm * jnp.einsum(
-        "myx,y,x->m", fwd / denom, helm.gy, helm.gx,
-        precision="highest") * g.dxo * g.dyo
+    blocks = getattr(helm, "supports_blocks", False)
+    if blocks:
+        # Tree-form spectra: the packed split levels stay separate
+        # arrays through the whole spectral phase, skipping the
+        # misaligned inter-level concatenations of the forward
+        # transform and the inverse's input slicing.  The constraint
+        # algebra runs per (x-block, y-block) with static segment
+        # views of the permuted eigenvalue/Parseval vectors.
+        import numpy as _np
+        xsizes, ysizes = helm.block_sizes()
+        xoff = _np.concatenate([[0], _np.cumsum(xsizes)])
+        yoff = _np.concatenate([[0], _np.cumsum(ysizes)])
+        lamx = jnp.asarray(helm.lamx)
+        lamy = jnp.asarray(helm.lamy)
+        rdm2v = jnp.asarray(helm.rdm2)
+        gxv = jnp.asarray(helm.gx)
+        gyv = jnp.asarray(helm.gy)
+        spec = helm.forward_blocks(wrk)
+        denoms, xin = [], 0.0
+        for i in range(len(xsizes)):
+            drow = []
+            for j in range(len(ysizes)):
+                d = (lamx[xoff[i]:xoff[i + 1]][None, None, :]
+                     + lamy[yoff[j]:yoff[j + 1]][None, :, None]
+                     - rdm2v[:, None, None])
+                drow.append(d)
+                xin = xin + jnp.einsum(
+                    "myx,y,x->m", spec[i][j] / d,
+                    gyv[yoff[j]:yoff[j + 1]],
+                    gxv[xoff[i]:xoff[i + 1]], precision="highest")
+            denoms.append(drow)
+        xinhom = helm.norm * xin * g.dxo * g.dyo
+    else:
+        fwd = helm.forward(wrk)
+        denom = helm._denom()
+        # fwd/denom is NOT materialised: the divide fuses into this
+        # reduction, and the corrected spectrum below is built from
+        # fwd in one pass.
+        xinhom = helm.norm * jnp.einsum(
+            "myx,y,x->m", fwd / denom, helm.gy, helm.gx,
+            precision="highest") * g.dxo * g.dyo
 
     aient = jnp.zeros(nlo - 1, dtype=dtype).at[0].set(xon1)
     dpioc_new = state.dpiocp - tdto * gpoc * aient
@@ -588,13 +620,24 @@ def _ocinvq(model: Model, state: OceanState, qo_new: jnp.ndarray,
 
     zero1 = jnp.zeros((1,), dtype)
     coef = jnp.concatenate([zero1, hclco * helm.rdm2[1:]])
-    # jnp.asarray before the outer product: helm.gy/gx are host NumPy
-    # and would otherwise broadcast eagerly into a grid-sized constant
-    gyx = (jnp.asarray(helm.gy)[None, :, None]
-           * jnp.asarray(helm.gx)[None, None, :])
-    spec = (fwd + coef[:, None, None] * gyx) / denom
-    pm = helm.inverse(spec) \
-        + jnp.concatenate([zero1, hclco])[:, None, None]
+    if blocks:
+        corr = [[(spec[i][j] + coef[:, None, None]
+                  * (gyv[yoff[j]:yoff[j + 1]][None, :, None]
+                     * gxv[xoff[i]:xoff[i + 1]][None, None, :]))
+                 / denoms[i][j]
+                 for j in range(len(ysizes))]
+                for i in range(len(xsizes))]
+        pm = helm.inverse_blocks(corr) \
+            + jnp.concatenate([zero1, hclco])[:, None, None]
+    else:
+        # jnp.asarray before the outer product: helm.gy/gx are host
+        # NumPy and would otherwise broadcast eagerly into a
+        # grid-sized constant
+        gyx = (jnp.asarray(helm.gy)[None, :, None]
+               * jnp.asarray(helm.gx)[None, None, :])
+        spec = (fwd + coef[:, None, None] * gyx) / denom
+        pm = helm.inverse(spec) \
+            + jnp.concatenate([zero1, hclco])[:, None, None]
     po_new = jnp.einsum("km,myx->kyx", cm2l, pm, precision="highest")
     zero = jnp.zeros(nlo - 1, dtype=dtype)
     return (po_new, state.po, dpioc_new, dpiocp_new,

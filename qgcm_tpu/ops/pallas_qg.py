@@ -91,7 +91,7 @@ def _make_kernel(ny, nx, nl, cyclic, sponge, consts, ah2, ah4):
                 out = jnp.where(east & ~zonal, bcfac * (w - c), out)
             return out
 
-        pom = pom_ref[0, 0]
+        pom = pom_ref[0, 0]  # halo-windowed tile (T+6, nx+6)
         d2 = lap_bc(pom, HALO)
         d4 = lap_bc(d2, HALO - 1)
 
@@ -141,16 +141,16 @@ def _make_kernel(ny, nx, nl, cyclic, sponge, consts, ah2, ah4):
         is0 = (k == 0).astype(fdt)
         is1 = (k == 1).astype(fdt)
         isb = (k == nl - 1).astype(fdt)
-        dqdt = (dqdt + is0 * (fohfac0 * (wek_ref[0] - ent_ref[0]))
-                + is1 * (fohfac1 * ent_ref[0])
+        dqdt = (dqdt + is0 * (fohfac0 * (wek_ref[...] - ent_ref[...]))
+                + is1 * (fohfac1 * ent_ref[...])
                 - isb * (bdrfac * d2c))
 
-        qom = qom_ref[0, 0]
+        qom = qom_ref[0]
         qnew = qom + tdt * dqdt
         if sponge:
             betay = beta_y0 + beta_dy * gr0.astype(fdt)
-            qnew = qnew + (tdt * c1spl) * rspl_ref[0] * (qom - betay)
-        out_ref[0, 0, ...] = jnp.where(zonal, qc, qnew)
+            qnew = qnew + (tdt * c1spl) * rspl_ref[...] * (qom - betay)
+        out_ref[0, ...] = jnp.where(zonal, qc, qnew)
 
     return kernel
 
@@ -166,14 +166,15 @@ def qgstep_pallas(pom, po, qo, qom, wekpo, entoc, r_spl, consts,
     nty = pl.cdiv(ny, TILE_Y)
     nxw = nx + 2 * HALO
 
+    # Only the halo-carrying inputs need the overlapping-window
+    # relayout (BlockSpec blocks cannot overlap); halo-free operands
+    # ride RAW with ragged boundary blocks (Mosaic masks the edge
+    # tile's loads/stores), which drops four full-field staging copies
+    # and the output's unpad slice (~2 ms/step at NAtl scale).
     pom_t = _tiles(pom, HALO, cyclic, nty)      # (nl,nty,T+6,nx+6)
     po_t = _tiles(po, 1, cyclic, nty)
     qo_t = _tiles(qo, 1, cyclic, nty)
-    qom_t = _tiles(qom, 0, cyclic, nty)
-    wek_t = _tiles(wekpo, 0, cyclic, nty)       # (nty,T,nx)
-    ent_t = _tiles(entoc, 0, cyclic, nty)
-    rspl_t = (_tiles(r_spl, 0, cyclic, nty) if sponge
-              else jnp.zeros_like(wek_t))
+    rspl = r_spl if sponge else jnp.zeros_like(wekpo)
 
     kernel = _make_kernel(ny, nx, nl, cyclic, sponge, consts,
                           tuple(ah2), tuple(ah4))
@@ -199,21 +200,20 @@ def qgstep_pallas(pom, po, qo, qom, wekpo, entoc, r_spl, consts,
             pl.BlockSpec((1, 1, TILE_Y + 2, nx + 2),
                          lambda k, t: (k, t, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, TILE_Y, nx),
-                         lambda k, t: (k, t, 0, 0),
+            pl.BlockSpec((1, TILE_Y, nx),
+                         lambda k, t: (k, t, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, TILE_Y, nx), lambda k, t: (t, 0, 0),
+            pl.BlockSpec((TILE_Y, nx), lambda k, t: (t, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, TILE_Y, nx), lambda k, t: (t, 0, 0),
+            pl.BlockSpec((TILE_Y, nx), lambda k, t: (t, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, TILE_Y, nx), lambda k, t: (t, 0, 0),
+            pl.BlockSpec((TILE_Y, nx), lambda k, t: (t, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 1, TILE_Y, nx),
-                               lambda k, t: (k, t, 0, 0),
+        out_specs=pl.BlockSpec((1, TILE_Y, nx),
+                               lambda k, t: (k, t, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((nl, nty, TILE_Y, nx),
-                                       pom.dtype),
+        out_shape=jax.ShapeDtypeStruct((nl, ny, nx), pom.dtype),
             # 8 full-width blocks double-buffered exceed the default
             # 16 MB scoped-VMEM budget at reference-scale nx (v5e has
             # 128 MB of VMEM; at NAtl 4801-wide rows the blocks total
@@ -221,9 +221,9 @@ def qgstep_pallas(pom, po, qo, qom, wekpo, entoc, r_spl, consts,
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=100 * 1024 * 1024),
             interpret=interpret,
-        )(pom_t, po_t, qo_t, qom_t, wek_t, ent_t, rspl_t)
+        )(pom_t, po_t, qo_t, qom, wekpo, entoc, rspl)
 
-    return out.reshape(nl, nty * TILE_Y, nx)[:, :ny, :]
+    return out
 
 
 class _nullcontext:

@@ -292,6 +292,55 @@ def _idst1_mm_packed(y: jnp.ndarray, axis: int, prec) -> jnp.ndarray:
                            axis=axis)
 
 
+def _split_sizes(n: int) -> list:
+    """Packed-order spectral block lengths [m, ...recurse(m-1)] --
+    the segment structure of _split_perm / _dst1_mm_packed."""
+    m = (n + 1) // 2
+    if n % 2 == 0 or m < _MM_SPLIT_MIN:
+        return [n]
+    return [m] + _split_sizes(m - 1)
+
+
+def _dst1_mm_blocks(x: jnp.ndarray, axis: int, prec) -> list:
+    """Split-order DST-I as a LIST of spectral blocks (one per split
+    level, base last): jnp.concatenate(blocks, axis) equals
+    _dst1_mm_packed(x, axis).  Skipping the inter-level concatenation
+    matters on the minor axis, where the odd/even block boundary is
+    not tile-aligned and XLA executes the concat at ~150 GB/s
+    (~4 ms/step of the NAtl solve)."""
+    n = x.shape[axis]
+    dt = x.dtype
+    m = (n + 1) // 2
+    if n % 2 == 0 or m < _MM_SPLIT_MIN:
+        return [_mm(x, _sine_matrix(n, dt), axis, prec)]
+
+    def sl(a, lo, hi):
+        return jax.lax.slice_in_dim(a, lo, hi, axis=axis)
+
+    xf = sl(x, 0, m - 1)
+    xb = jnp.flip(sl(x, m, n), axis)
+    odd = (_mm(xf + xb, _odd_kernel2(m, dt), axis, prec)
+           + sl(x, m - 1, m) * _mid_signs(m, dt, axis, x.ndim))
+    return [odd] + _dst1_mm_blocks(xf - xb, axis, prec)
+
+
+def _idst1_mm_blocks(blocks: list, axis: int, prec) -> jnp.ndarray:
+    """DST-I of a split-order spectrum given as a block list (the
+    exact transpose of _dst1_mm_blocks; same arithmetic as
+    _idst1_mm_packed minus the input slicing)."""
+    y0 = blocks[0]
+    dt = y0.dtype
+    m = y0.shape[axis]
+    if len(blocks) == 1:
+        return _mm(y0, _sine_matrix(m, dt), axis, prec)
+    uf = _mm_t(y0, _odd_kernel2(m, dt), axis, prec)
+    um = jnp.sum(y0 * _mid_signs(m, dt, axis, y0.ndim), axis=axis,
+                 keepdims=True)
+    v = _idst1_mm_blocks(blocks[1:], axis, prec)
+    return jnp.concatenate([uf + v, um, jnp.flip(uf - v, axis)],
+                           axis=axis)
+
+
 def dst1(x: jnp.ndarray, axis: int = -1) -> jnp.ndarray:
     """Unnormalised type-I discrete sine transform along `axis`.
 
@@ -416,6 +465,38 @@ class BoxHelmholtz:
     def solve(self, rhs: jnp.ndarray) -> jnp.ndarray:
         """rhs: (nm, nyp, nxp); returns solution with zero boundaries."""
         return self.inverse(self.solve_spec(rhs))
+
+    # -- block (tree) spectral interface: matmul backend only ---------
+    # The packed spectrum's split levels stay SEPARATE arrays, so the
+    # forward transforms skip the inter-level concatenations and the
+    # inverse skips the input slicing.  The spectral algebra consumers
+    # (_ocinvq box path) iterate the static (x-block, y-block) grid
+    # with segment views of the permuted lamx/lamy/gx/gy vectors.
+    @property
+    def supports_blocks(self) -> bool:
+        return self.transform == "matmul"
+
+    def block_sizes(self):
+        """(xsizes, ysizes): packed spectral segment lengths."""
+        return (_split_sizes(self.nxp - 2), _split_sizes(self.nyp - 2))
+
+    def forward_blocks(self, rhs: jnp.ndarray) -> list:
+        """Interior 2-D DST as nested blocks spec[i][j] (x-major);
+        concatenating j along -2 then i along -1 reproduces
+        forward(rhs)."""
+        prec = _PREC[self.mm_precision]
+        f = rhs[..., 1:-1, 1:-1]
+        return [_dst1_mm_blocks(xb, -2, prec)
+                for xb in _dst1_mm_blocks(f, -1, prec)]
+
+    def inverse_blocks(self, spec: list) -> jnp.ndarray:
+        """Inverse of forward_blocks (scaled by norm, zero-padded
+        boundary)."""
+        prec = _PREC[self.mm_precision]
+        cols = [_idst1_mm_blocks(sb, -2, prec) for sb in spec]
+        sol = _idst1_mm_blocks(cols, -1, prec) * self.norm
+        nd = sol.ndim
+        return jnp.pad(sol, [(0, 0)] * (nd - 2) + [(1, 1), (1, 1)])
 
     def solve_np(self, rhs: np.ndarray) -> np.ndarray:
         """Host-side float64 solve (model initialisation only)."""

@@ -250,3 +250,36 @@ def test_resolve_ytransform_auto():
     assert resolve_ytransform(C(solver_transform="fft"), big) == "fft"
     assert resolve_ytransform(C(solver_transform="matmul"), 40) \
         == "matmul"
+
+
+def test_block_spectra_match_packed(monkeypatch):
+    """The tree-form block interface (forward_blocks/inverse_blocks)
+    must reproduce the packed single-array transforms exactly:
+    concatenated blocks == forward(), and inverse_blocks is its exact
+    transpose, through multiple recursion levels."""
+    import qgcm_tpu.solver.helmholtz as H
+    monkeypatch.setattr(H, "_MM_SPLIT_MIN", 4)
+    rng = np.random.default_rng(17)
+    for nxp, nyp in ((37, 29), (48, 37)):
+        dx, dy = 5e3, 7e3
+        rdm2 = np.array([0.0, 2.3e-9, 8.1e-9])
+        rhs = np.zeros((3, nyp, nxp))
+        rhs[:, 1:-1, 1:-1] = rng.standard_normal((3, nyp - 2, nxp - 2))
+        mm = make_box_helmholtz(nxp, nyp, dx, dy, rdm2,
+                                transform="matmul")
+        assert mm.supports_blocks
+        xsizes, ysizes = mm.block_sizes()
+        assert sum(xsizes) == nxp - 2 and sum(ysizes) == nyp - 2
+
+        spec = mm.forward_blocks(jnp.asarray(rhs))
+        cat = jnp.concatenate(
+            [jnp.concatenate(sb, axis=-2) for sb in spec], axis=-1)
+        ref = np.asarray(mm.forward(jnp.asarray(rhs)))
+        assert np.abs(np.asarray(cat) - ref).max() \
+            < 1e-12 * np.abs(ref).max()
+
+        # inverse_blocks(forward_blocks(x)) * (2(N+1))^2 == interior x
+        back = np.asarray(mm.inverse_blocks(spec))
+        ref_back = np.asarray(mm.inverse(jnp.asarray(cat)))
+        assert np.abs(back - ref_back).max() \
+            < 1e-12 * np.abs(ref_back).max()
