@@ -50,11 +50,12 @@ from .io import (save_restart, load_restart, OceanSnapshots,
 
 
 def _gcd_all(vals):
+    """gcd of the nonzero entries; 0 when none are set."""
     g = 0
     for v in vals:
         if v:
             g = math.gcd(g, int(v))
-    return max(g, 1)
+    return g
 
 
 @dataclass
@@ -136,8 +137,14 @@ class Driver:
         self.chunk = _gcd_all([
             self.nvalid, self.noutoc, self.noutat, self.nmonit,
             self.nprint, self.nrestart, self.ntavoc, self.ntavat,
-            self.ncovoc, self.ncovat, self.nocavg]) \
-            or max(nstr, self.nvalid)
+            self.ncovoc, self.ncovat, self.nocavg])
+        if not self.chunk:
+            # No cadence enabled: nothing forces a host wake-up, so
+            # run big jitted chunks (one cycle per dispatch costs a
+            # full dispatch round-trip per substep -- ~30 ms on a
+            # remote TPU backend). Capped so a single dispatch stays
+            # minutes, not hours, even at NAtl scale.
+            self.chunk = min(self.nsteps, 4096 * nstr)
         self.chunk = max(self.chunk, nstr)
         assert self.chunk % nstr == 0 and self.nsteps % nstr == 0
         self.areas_limits = areas_limits

@@ -486,3 +486,32 @@ def test_driver_profile(tmp_path, capsys):
     s = summarize(prof)
     assert s.total_us > 0
     assert s.top(3)
+
+
+def test_no_cadence_runs_one_big_chunk(tmp_path):
+    """With every diagnostic/I-O cadence disabled, nothing forces a
+    host wake-up, so the chunk must be the whole run (capped) -- the
+    old gcd fallback of chunk=nstr dispatched ONE coupling cycle per
+    host round-trip (~30 ms each on a remote TPU backend)."""
+    from qgcm_tpu.config import ModelConfig, OceanConfig
+    from qgcm_tpu.run import Driver
+    from qgcm_tpu.model import build_model
+    from qgcm_tpu.generators import zero_forcing
+
+    base = ModelConfig(nxta=24, nyta=24, nxaooc=24, nyaooc=12, ndxr=2,
+                       fnot=5.92e-5, beta=2.08e-11,
+                       ocean_only=True, cyclic_ocean=True)
+    p = RunParams(trun=60.0 * 300.0 / 86400.0 / 365.0, dta=300.0,
+                  nstr=3, dxo=20.0e3, delek=0.0,
+                  valday=0.0, odiday=0.0, adiday=0.0,
+                  dgnday=0.0, prtday=0.0, resday=0.0, dtavoc=0.0,
+                  dtavat=0.0, ah2oc=(0.0, 0.0), ah4oc=(0.0, 0.0),
+                  tabsoc=(287.0, 282.0), hoc=(800.0, 3.2e20),
+                  gpoc=(0.01,), name="zero")
+    cfg = params_to_config(p, base)
+    model = build_model(cfg)
+    drv = Driver(model, p, str(tmp_path / "out"),
+                 mean_forcing=zero_forcing(cfg), verbose=False)
+    assert drv.chunk == drv.nsteps == 60
+    res = drv.run()
+    assert res.steps_done == 60 and not res.aborted
