@@ -248,6 +248,18 @@ class ModelConfig:
             raise ValueError("atmos layer parameter lengths inconsistent with nla")
         if len(oc.tabsoc) != oc.nlo or len(at.tabsat) != at.nla:
             raise ValueError("layer temperature lengths inconsistent")
+        if len(oc.ah2oc) != oc.nlo or len(oc.ah4oc) != oc.nlo:
+            raise ValueError(
+                "ocean viscosity lengths (ah2oc/ah4oc) inconsistent "
+                f"with nlo={oc.nlo}")
+        if len(at.ah4at) != at.nla:
+            raise ValueError(
+                f"atmos viscosity length (ah4at) inconsistent with "
+                f"nla={at.nla}")
+        if len(self.radiation.zopt) != at.nla:
+            raise ValueError(
+                f"radiation.zopt needs one optical depth per atmos "
+                f"layer (nla={at.nla}, got {len(self.radiation.zopt)})")
         if self.radiation.fspamp < 0:
             raise ValueError("fspamp must be non-negative")
         return self

@@ -278,3 +278,48 @@ def test_topography_extant_from_case_topog(tmp_path):
     with pytest.raises(FileNotFoundError):
         run_case(p2, base, str(tmp_path / "empty" / "out"),
                  mean_forcing=zero_forcing(cfg), verbose=False)
+
+
+def test_four_layer_coupled():
+    """Layer counts are fully parametric (reference capability: 'need
+    at least 2 layers in each fluid', parameters_data.F comments allow
+    n layers): a 4-layer ocean under a 4-layer atmosphere builds,
+    steps coupled, and stays finite. Mis-sized per-layer vectors must
+    fail at validate() with a clear message, not deep in radiation."""
+    import numpy as np
+    import pytest
+    from qgcm_tpu.config import (ModelConfig, OceanConfig, AtmosConfig,
+                                 RadiationConfig)
+    from qgcm_tpu.model import build_model
+    from qgcm_tpu.models.ocean import init_ocean_state
+    from qgcm_tpu.models.atmos import init_atmos_state
+    from qgcm_tpu.models.stepper import make_coupled_runner
+    from qgcm_tpu.generators import eddy_pressure
+
+    kw = dict(nxta=24, nyta=12, nxaooc=8, nyaooc=8, ndxr=2, dta=150.0,
+              ocean=OceanConfig(nlo=4, dxo=40e3,
+                                hoc=(300., 800., 1100., 2000.),
+                                gpoc=(0.05, 0.025, 0.0125),
+                                tabsoc=(287., 284., 283., 282.),
+                                ah2oc=(0., 0., 0., 0.),
+                                ah4oc=(1e9,) * 4),
+              atmos=AtmosConfig(nla=4,
+                                hat=(1500., 2000., 3000., 3500.),
+                                gpat=(1.2, 0.4, 0.2),
+                                tabsat=(320., 330., 340., 350.),
+                                ah4at=(1e14,) * 4))
+
+    with pytest.raises(ValueError, match="zopt"):
+        ModelConfig(**kw).validate()       # default 3-entry zopt
+
+    cfg = ModelConfig(
+        **kw, radiation=RadiationConfig(zopt=(2.0e4, 2.0e4, 2.5e4,
+                                              3.0e4))).validate()
+    model = build_model(cfg)
+    oc = init_ocean_state(model, po=eddy_pressure(cfg))
+    at = init_atmos_state(model, init="rbal")
+    oc2, at2 = make_coupled_runner(model)(oc, at, 4 * cfg.nstr)
+    assert oc2.po.shape == (4, 17, 17)
+    assert at2.pa.shape == (4, 13, 25)
+    assert np.isfinite(np.asarray(oc2.po)).all()
+    assert np.isfinite(np.asarray(at2.pa)).all()
