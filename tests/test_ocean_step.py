@@ -191,3 +191,55 @@ def test_matmul_solver_trajectory_matches_fft(case, monkeypatch):
         x, y = np.asarray(getattr(a, name)), np.asarray(getattr(b, name))
         scale = np.abs(x).max()
         assert np.abs(x - y).max() <= 1e-10 * scale, (case, name)
+
+
+def test_barotropic_rossby_wave_dispersion():
+    """Quantitative dynamics oracle: a single barotropic harmonic in
+    the unforced inviscid channel is an EXACT nonlinear solution
+    (Arakawa J(p, c*p) vanishes identically), so its phase must rotate
+    at the Rossby frequency omega = -beta k/(k^2+l^2) -- westward.
+    Catches sign/factor errors in the beta term, the Jacobian and the
+    inversion that magnitude-only tests miss. Tolerance covers the
+    5-point discrete dispersion at ~21 points/wavelength."""
+    from qgcm_tpu.models.stepper import make_ocean_only_runner
+
+    cfg = qc.ModelConfig(
+        nxta=64, nyta=16, nxaooc=64, nyaooc=16, ndxr=1,
+        fnot=9.4e-5, beta=1.75e-11, dta=200.0, nstr=3,
+        ocean=qc.OceanConfig(nlo=3, dxo=10e3, delek=0.0,
+                             hoc=(350., 750., 2900.),
+                             gpoc=(0.025, 0.0125),
+                             tabsoc=(287., 282., 276.),
+                             ah2oc=(0., 0., 0.), ah4oc=(0., 0., 0.)),
+        ocean_only=True, cyclic_ocean=True).validate()
+    model = build_model(cfg)
+    g = model.grids
+    nxp, nyp = cfg.nxpo, cfg.nypo
+    nx, ny = nxp - 1, nyp - 1
+    dx = g.dxo
+    kx = 2 * np.pi * 3 / (nx * dx)        # 3 wavelengths around
+    ly = np.pi / (ny * dx)                # first meridional mode
+    x = np.arange(nxp) * dx
+    y = np.arange(nyp) * dx
+    amp = 1e-4 * cfg.fnot * dx * dx       # linear regime
+    wave = amp * np.sin(ly * y)[:, None] * np.cos(kx * x)[None, :]
+    state = init_ocean_state(model, po=np.repeat(wave[None], 3, 0))
+    forcing = ocean_forcing_from_mean(model, *zero_forcing(cfg))
+    run = make_ocean_only_runner(model)
+
+    def phase(st):
+        p = np.asarray(st.po[0])[:, :nx]
+        cy = np.sin(ly * y)[:, None]
+        c = (p * cy * np.cos(kx * x[:nx])[None, :]).sum()
+        s = (p * cy * np.sin(kx * x[:nx])[None, :]).sum()
+        return np.arctan2(s, c)
+
+    ths = [phase(state)]
+    for _ in range(6):
+        state = run(state, forcing, 50)
+        ths.append(phase(state))
+    omega = np.unwrap(np.diff(ths)).mean() / (50 * cfg.dto)
+    omega_ref = -cfg.beta * kx / (kx**2 + ly**2)
+    assert omega < 0, "Rossby wave must propagate westward"
+    assert abs(omega - omega_ref) < 0.05 * abs(omega_ref), \
+        (omega, omega_ref)
