@@ -243,3 +243,59 @@ def test_barotropic_rossby_wave_dispersion():
     assert omega < 0, "Rossby wave must propagate westward"
     assert abs(omega - omega_ref) < 0.05 * abs(omega_ref), \
         (omega, omega_ref)
+
+
+def test_baroclinic_rossby_wave_dispersion():
+    """Mode-1 companion to the barotropic oracle: a single harmonic
+    projected onto the first baroclinic eigenvector is also an exact
+    nonlinear solution, with omega = -beta k/(k^2+l^2+1/Rd1^2).
+    Validates the eigenmode machinery (modes.cm2l, rdm2) and the modal
+    inversion against the analytic dispersion relation."""
+    from qgcm_tpu.models.stepper import make_ocean_only_runner
+
+    cfg = qc.ModelConfig(
+        nxta=64, nyta=16, nxaooc=64, nyaooc=16, ndxr=1,
+        fnot=9.4e-5, beta=1.75e-11, dta=200.0, nstr=3,
+        ocean=qc.OceanConfig(nlo=3, dxo=10e3, delek=0.0,
+                             hoc=(350., 750., 2900.),
+                             gpoc=(0.025, 0.0125),
+                             tabsoc=(287., 282., 276.),
+                             ah2oc=(0., 0., 0.), ah4oc=(0., 0., 0.)),
+        ocean_only=True, cyclic_ocean=True).validate()
+    model = build_model(cfg)
+    g = model.grids
+    nxp, nyp = cfg.nxpo, cfg.nypo
+    nx, ny = nxp - 1, nyp - 1
+    dx = g.dxo
+    kx = 2 * np.pi * 3 / (nx * dx)
+    ly = np.pi / (ny * dx)
+    x = np.arange(nxp) * dx
+    y = np.arange(nyp) * dx
+    amp = 1e-4 * cfg.fnot * dx * dx
+    wave = amp * np.sin(ly * y)[:, None] * np.cos(kx * x)[None, :]
+    mode1 = np.asarray(model.modes_oc.cm2l)[:, 1]    # layer weights
+    state = init_ocean_state(model, po=mode1[:, None, None] * wave)
+    forcing = ocean_forcing_from_mean(model, *zero_forcing(cfg))
+    run = make_ocean_only_runner(model)
+
+    # project the MODAL amplitude (cl2m) back out of the layers
+    cl2m = np.asarray(model.modes_oc.cl2m)
+
+    def phase(st):
+        p1 = np.einsum("k,kyx->yx", cl2m[1], np.asarray(st.po))[:, :nx]
+        cy = np.sin(ly * y)[:, None]
+        c = (p1 * cy * np.cos(kx * x[:nx])[None, :]).sum()
+        s = (p1 * cy * np.sin(kx * x[:nx])[None, :]).sum()
+        return np.arctan2(s, c)
+
+    # baroclinic waves are slow: measure over a longer window
+    ths = [phase(state)]
+    for _ in range(6):
+        state = run(state, forcing, 300)
+        ths.append(phase(state))
+    omega = np.unwrap(np.diff(ths)).mean() / (300 * cfg.dto)
+    rd2 = float(np.asarray(model.modes_oc.rdm2)[1])
+    omega_ref = -cfg.beta * kx / (kx**2 + ly**2 + rd2)
+    assert omega < 0
+    assert abs(omega - omega_ref) < 0.05 * abs(omega_ref), \
+        (omega, omega_ref)
