@@ -163,6 +163,26 @@ def _bcu_weights(ndxr: int, bccoat: float, dya: float):
             tensor("vs", ndxr), tensor("vn", ndxr + 1))
 
 
+def _sep_factors(w: np.ndarray, dtype):
+    """Split W[jd, a, ii, jj] into separable rank terms
+    sum_r wy[jd, jj, r] * wx[r, a, ii] (exact: the bicubic of
+    tensor-product corner stencils is rank 1; the v-wall variants add
+    one continuity term, rank 2 -- asserted here).  Separability is
+    what lets the refinement run x-first at coarse-row cost with the
+    fine x axis emitted MERGED: the combined 16-tap einsum's
+    (band, ndxr, cell, ndxr) output costs ~0.7 ms/atmos-step of
+    tile-relayout at double-gyre scale just to reach row-major."""
+    jd, a, nii, njj = w.shape
+    M = np.asarray(w, np.float64).transpose(0, 3, 1, 2)
+    M = M.reshape(jd * njj, a * nii)
+    U, s, Vt = np.linalg.svd(M, full_matrices=False)
+    r = int((s > 1e-10 * s[0]).sum())
+    assert r <= 2, r
+    wy = (U[:, :r] * s[:r]).reshape(jd, njj, r)
+    wx = Vt[:r].reshape(r, a, nii)
+    return np.asarray(wy, dtype), np.asarray(wx, dtype)
+
+
 # ----------------------------------------------------------------------
 # Static coupling data
 # ----------------------------------------------------------------------
@@ -170,12 +190,13 @@ def _bcu_weights(ndxr: int, bccoat: float, dya: float):
 @dataclass(frozen=True)
 class Coupling:
     """Precomputed operators/factors for xforc, built once on the host."""
-    # bicubic weight tensors [jd, a, ii, jj]
-    w_bbb: jnp.ndarray
-    w_us: jnp.ndarray
-    w_un: jnp.ndarray
-    w_vs: jnp.ndarray
-    w_vn: jnp.ndarray
+    # separable bicubic weight factors: (wy[jd, jj, r], wx[r, a, ii])
+    # per bcuini case (see _sep_factors)
+    w_bbb: tuple
+    w_us: tuple
+    w_un: tuple
+    w_vs: tuple
+    w_vn: tuple
     # bilinear astm -> ocean-T-grid gather
     bil_ix_m: jnp.ndarray    # (nxto,) int
     bil_ix_p: jnp.ndarray
@@ -215,11 +236,11 @@ def build_coupling(cfg: ModelConfig, grids: Grids, rad) -> Coupling:
     fsp_at = fsprim_profile(cfg, rad.fspco, grids.ytarel, grids.yla)
 
     return Coupling(
-        w_bbb=np.asarray(w[0], dtype=dtype),
-        w_us=np.asarray(w[1], dtype=dtype),
-        w_un=np.asarray(w[2], dtype=dtype),
-        w_vs=np.asarray(w[3], dtype=dtype),
-        w_vn=np.asarray(w[4], dtype=dtype),
+        w_bbb=_sep_factors(w[0], dtype),
+        w_us=_sep_factors(w[1], dtype),
+        w_un=_sep_factors(w[2], dtype),
+        w_vs=_sep_factors(w[3], dtype),
+        w_vn=_sep_factors(w[4], dtype),
         bil_ix_m=np.asarray(ix_m), bil_ix_p=np.asarray(ix_p),
         bil_wx_p=np.asarray(wpx, dtype=dtype),
         bil_jy_m=np.asarray(jam - 1), bil_jy_p=np.asarray(jap - 1),
@@ -239,57 +260,77 @@ def _xtaps(f: jnp.ndarray) -> jnp.ndarray:
                      axis=-1)
 
 
+def _xrefine(taps: jnp.ndarray, wx: jnp.ndarray) -> jnp.ndarray:
+    """(rows, nxta, 4 taps) x wx(4, nii) -> (rows, nxta*nii), the fine
+    x axis MERGED. The relayout to row-major happens here at
+    coarse-row size (a few MB) instead of on the full fine grid."""
+    out = jnp.einsum("zca,ai->zci", taps, jnp.asarray(wx),
+                     precision="highest")
+    return out.reshape(out.shape[0], -1)
+
+
+def _band_refine(taps_rows: jnp.ndarray, factors) -> jnp.ndarray:
+    """Wall band: (4 jd-slots, nxta, 4 taps) -> (njj, nxtaor), summing
+    the separable rank terms (rank 2 for the v walls: the continuity
+    term takes an x-derivative of the wall-u data)."""
+    wy, wx = factors
+    out = None
+    for r in range(wx.shape[0]):
+        X = _xrefine(taps_rows, wx[r])               # (4, m)
+        t = jnp.einsum("dm,dj->jm", X, jnp.asarray(wy[:, :, r]),
+                       precision="highest")
+        out = t if out is None else out + t
+    return out
+
+
 def bicubic_refine_uv(coup: Coupling, u1at: jnp.ndarray,
                       v1at: jnp.ndarray, ndxr: int):
     """Refine coarse p-grid velocities (nypa, nxpa) to the
     ocean-resolution atmospheric p grid (nypaor, nxpaor).
-    One einsum per band; the 16-tap weights do all boundary handling."""
+
+    Separable form: x-refine the coarse rows first (emitting the fine
+    x axis merged), then contract the y taps band-wise -- the big
+    (nytaor, nxtaor) array is only ever produced in its final
+    row-major layout. The combined 16-tap einsum this replaces emitted
+    (band, ndxr_j, cell, ndxr_i) fine grids whose merge cost
+    ~0.7 ms/atmos-step of bandwidth-bound relayout (profiled at
+    double-gyre scale; the 16-lane minor axis forces tile padding)."""
     nypa = u1at.shape[0]
     nyta = nypa - 1
     U = _xtaps(u1at[:, :-1])                   # (nypa, nxta, 4)
     V = _xtaps(v1at[:, :-1])
+    wy_b, wx_b = coup.w_bbb                    # rank 1
 
-    # general band: rows jc0-1..jc0+2 with zero padding outside
-    Up = jnp.pad(U, ((1, 1), (0, 0), (0, 0)))
-    Vp = jnp.pad(V, ((1, 1), (0, 0), (0, 0)))
-    Pg_u = jnp.stack([Up[d:d + nyta] for d in range(4)], axis=1)
-    Pg_v = jnp.stack([Vp[d:d + nyta] for d in range(4)], axis=1)
-    gen_u = jnp.einsum("zdca,daij->zjci", Pg_u, coup.w_bbb,
-                       precision="highest")
-    gen_v = jnp.einsum("zdca,daij->zjci", Pg_v, coup.w_bbb,
-                       precision="highest")
-    nxtaor = gen_u.shape[2] * ndxr
-
-    def flat(band3):
-        # (njj, nxta, ndxr) -> (njj, nxtaor)
-        return band3.transpose(0, 1, 2).reshape(band3.shape[0], nxtaor)
-
-    def flatz(band4):
-        # (nyta, ndxr, nxta, ndxr) -> (nyta*ndxr, nxtaor)
-        s = band4.shape
-        return band4.reshape(s[0] * s[1], nxtaor)
+    # general bands: x-refine every coarse row once, then y-contract
+    Xu = _xrefine(U, wx_b[0])                  # (nypa, m)
+    Xv = _xrefine(V, wx_b[0])
+    Xup = jnp.pad(Xu, ((1, 1), (0, 0)))
+    Xvp = jnp.pad(Xv, ((1, 1), (0, 0)))
+    # d-th y-tap of interior bands 1..nyta-2: rows (band-1+d)
+    Su = jnp.stack([Xup[d + 1:d + nyta - 1] for d in range(4)], axis=0)
+    Sv = jnp.stack([Xvp[d + 1:d + nyta - 1] for d in range(4)], axis=0)
+    wyv = jnp.asarray(wy_b[:, :, 0])
+    gen_u = jnp.einsum("dzm,dj->zjm", Su, wyv, precision="highest")
+    gen_v = jnp.einsum("dzm,dj->zjm", Sv, wyv, precision="highest")
+    m = gen_u.shape[-1]
 
     # south band (jc0 = 0): u pads jd=-1 with zeros, v pads with wall u
     S_u = jnp.concatenate([jnp.zeros_like(U[:1]), U[0:3]], axis=0)
     S_v = jnp.concatenate([U[0:1], V[0:3]], axis=0)
-    sou_u = jnp.einsum("dca,daij->jci", S_u, coup.w_us,
-                       precision="highest")
-    sou_v = jnp.einsum("dca,daij->jci", S_v, coup.w_vs,
-                       precision="highest")
+    sou_u = _band_refine(S_u, coup.w_us)
+    sou_v = _band_refine(S_v, coup.w_vs)
 
     # north band (jc0 = nyta-1): jd=+2 slot: zeros for u, wall u for v
     N_u = jnp.concatenate([U[nyta - 2:nyta + 1],
                            jnp.zeros_like(U[:1])], axis=0)
     N_v = jnp.concatenate([V[nyta - 2:nyta + 1], U[nypa - 1:nypa]], axis=0)
-    nor_u = jnp.einsum("dca,daij->jci", N_u, coup.w_un,
-                       precision="highest")
-    nor_v = jnp.einsum("dca,daij->jci", N_v, coup.w_vn,
-                       precision="highest")
+    nor_u = _band_refine(N_u, coup.w_un)
+    nor_v = _band_refine(N_v, coup.w_vn)
 
     ufin = jnp.concatenate(
-        [flat(sou_u), flatz(gen_u[1:nyta - 1]), flat(nor_u)], axis=0)
+        [sou_u, gen_u.reshape(-1, m), nor_u], axis=0)
     vfin = jnp.concatenate(
-        [flat(sou_v), flatz(gen_v[1:nyta - 1]), flat(nor_v)], axis=0)
+        [sou_v, gen_v.reshape(-1, m), nor_v], axis=0)
     ufin = jnp.concatenate([ufin, ufin[:, :1]], axis=1)
     vfin = jnp.concatenate([vfin, vfin[:, :1]], axis=1)
     return ufin, vfin
