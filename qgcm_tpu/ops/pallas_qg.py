@@ -35,35 +35,61 @@ HALO = 3          # del6 = three nested 5-point applications
 TILE_Y = 128
 
 
-def _tiles(f, h, cyclic, nty):
-    """(..., ny, nx) -> (..., nty, TILE_Y + 2h, nx + 2h) overlapping
-    halo windows. x ghosts: wraparound (cyclic p-array convention) or
-    zeros (box); y ghosts zero (masked in-kernel)."""
-    if h > 0:
-        if cyclic:
-            f = jnp.concatenate([f[..., -1 - h:-1, ], f, f[..., 1:1 + h]],
-                                axis=-1)
-        else:
-            zx = jnp.zeros(f.shape[:-1] + (h,), f.dtype)
-            f = jnp.concatenate([zx, f, zx], axis=-1)
-    ny = f.shape[-2]
-    pad_y = nty * TILE_Y + 2 * h - ny
-    nd = f.ndim
-    f = jnp.pad(f, [(0, 0)] * (nd - 2) + [(h, pad_y - h), (0, 0)])
-    wins = [f[..., t * TILE_Y:t * TILE_Y + TILE_Y + 2 * h, :]
-            for t in range(nty)]
-    return jnp.stack(wins, axis=-3)
+def _xghost(f, h, cyclic):
+    """Append h ghost columns each side: wraparound (cyclic p-array
+    convention) or zeros (box)."""
+    if h == 0:
+        return f
+    if cyclic:
+        return jnp.concatenate(
+            [f[..., -1 - h:-1], f, f[..., 1:1 + h]], axis=-1)
+    zx = jnp.zeros(f.shape[:-1] + (h,), f.dtype)
+    return jnp.concatenate([zx, f, zx], axis=-1)
+
+
+def _edges(f, h, cyclic, nty):
+    """Per-tile OUT-OF-BLOCK halo rows: (nl, ny, nx) ->
+    (nl, nty, 2h, nx + 2h), rows [t*T-h, t*T) then [t*T+T, t*T+T+h)
+    (zeros outside the domain).  The halo windows overlap, which
+    BlockSpec blocks cannot express; shipping just these edge rows and
+    assembling the window in VMEM keeps the pipelined block fetches
+    while staging ~h/T of a field instead of a full strided copy
+    (the old _tiles windows cost ~8 ms/step at NAtl; an in-kernel
+    HBM DMA variant lost the pipeline and measured slower still)."""
+    nl, ny, nx = f.shape
+    fp = jnp.pad(f, [(0, 0), (h, nty * TILE_Y + h - ny), (0, 0)])
+    rows = [jnp.concatenate(
+        [fp[:, t * TILE_Y: t * TILE_Y + h],
+         fp[:, t * TILE_Y + TILE_Y + h: t * TILE_Y + TILE_Y + 2 * h]],
+        axis=-2) for t in range(nty)]
+    return _xghost(jnp.stack(rows, axis=1), h, cyclic)
 
 
 def _make_kernel(ny, nx, nl, cyclic, sponge, consts, ah2, ah4):
     (dxm2, bcfac, adfac, rfnot, tdt, bdrfac, c1spl, beta_y0, beta_dy,
      fohfac0, fohfac1) = consts
 
-    def kernel(pom_ref, po_ref, qo_ref, qom_ref, wek_ref, ent_ref,
-               rspl_ref, out_ref):
+    def kernel(pom_blk, po_blk, qo_blk, pom_e, po_e, qo_e, qom_ref,
+               wek_ref, ent_ref, rspl_ref, out_ref):
         k = pl.program_id(0)
         t = pl.program_id(1)
         base = t * TILE_Y
+
+        def window(blk, edg, h):
+            """Assemble the (T+2h, nx+2h) halo window in VMEM from the
+            pipelined block and the shipped out-of-block edge rows."""
+            b = _kernel_xghost(blk[0], h)
+            return jnp.concatenate(
+                [edg[0, 0, :h], b, edg[0, 0, h:]], axis=-2)
+
+        def _kernel_xghost(b, h):
+            if h == 0:
+                return b
+            if cyclic:
+                return jnp.concatenate(
+                    [b[:, -1 - h:-1], b, b[:, 1:1 + h]], axis=-1)
+            zx = jnp.zeros((b.shape[0], h), b.dtype)
+            return jnp.concatenate([zx, b, zx], axis=-1)
 
         def rows(g0, n):
             return (jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)
@@ -91,7 +117,7 @@ def _make_kernel(ny, nx, nl, cyclic, sponge, consts, ah2, ah4):
                 out = jnp.where(east & ~zonal, bcfac * (w - c), out)
             return out
 
-        pom = pom_ref[0, 0]  # halo-windowed tile (T+6, nx+6)
+        pom = window(pom_blk, pom_e, HALO)
         d2 = lap_bc(pom, HALO)
         d4 = lap_bc(d2, HALO - 1)
 
@@ -108,8 +134,8 @@ def _make_kernel(ny, nx, nl, cyclic, sponge, consts, ah2, ah4):
         d4c = d4[1:-1, 1:-1]
         d2c = d2[2:-2, 2:-2]
 
-        q = qo_ref[0, 0]
-        p = po_ref[0, 0]
+        q = window(qo_blk, qo_e, 1)
+        p = window(po_blk, po_e, 1)
 
         def nb(f):
             return (f[1:-1, 2:], f[1:-1, :-2], f[2:, 1:-1],
@@ -166,14 +192,13 @@ def qgstep_pallas(pom, po, qo, qom, wekpo, entoc, r_spl, consts,
     nty = pl.cdiv(ny, TILE_Y)
     nxw = nx + 2 * HALO
 
-    # Only the halo-carrying inputs need the overlapping-window
-    # relayout (BlockSpec blocks cannot overlap); halo-free operands
-    # ride RAW with ragged boundary blocks (Mosaic masks the edge
-    # tile's loads/stores), which drops four full-field staging copies
-    # and the output's unpad slice (~2 ms/step at NAtl scale).
-    pom_t = _tiles(pom, HALO, cyclic, nty)      # (nl,nty,T+6,nx+6)
-    po_t = _tiles(po, 1, cyclic, nty)
-    qo_t = _tiles(qo, 1, cyclic, nty)
+    # Every field rides RAW with ragged pipelined blocks (Mosaic masks
+    # the edge tile); the halo-carrying inputs additionally ship their
+    # thin out-of-block edge rows (_edges, ~h/T of a field) and the
+    # window is assembled in VMEM -- no full-field staging relayouts.
+    pom_e = _edges(pom, HALO, cyclic, nty)      # (nl, nty, 6, nx+6)
+    po_e = _edges(po, 1, cyclic, nty)
+    qo_e = _edges(qo, 1, cyclic, nty)
     rspl = r_spl if sponge else jnp.zeros_like(wekpo)
 
     kernel = _make_kernel(ny, nx, nl, cyclic, sponge, consts,
@@ -191,15 +216,21 @@ def qgstep_pallas(pom, po, qo, qom, wekpo, entoc, r_spl, consts,
         kernel,
         grid=(nl, nty),
         in_specs=[
-            pl.BlockSpec((1, 1, TILE_Y + 2 * HALO, nxw),
+            pl.BlockSpec((1, TILE_Y, nx), lambda k, t: (k, t, 0),
+                         memory_space=pltpu.VMEM),       # pom block
+            pl.BlockSpec((1, TILE_Y, nx), lambda k, t: (k, t, 0),
+                         memory_space=pltpu.VMEM),       # po block
+            pl.BlockSpec((1, TILE_Y, nx), lambda k, t: (k, t, 0),
+                         memory_space=pltpu.VMEM),       # qo block
+            pl.BlockSpec((1, 1, 2 * HALO, nxw),
                          lambda k, t: (k, t, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, TILE_Y + 2, nx + 2),
+                         memory_space=pltpu.VMEM),       # pom edges
+            pl.BlockSpec((1, 1, 2, nx + 2),
                          lambda k, t: (k, t, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, TILE_Y + 2, nx + 2),
+                         memory_space=pltpu.VMEM),       # po edges
+            pl.BlockSpec((1, 1, 2, nx + 2),
                          lambda k, t: (k, t, 0, 0),
-                         memory_space=pltpu.VMEM),
+                         memory_space=pltpu.VMEM),       # qo edges
             pl.BlockSpec((1, TILE_Y, nx),
                          lambda k, t: (k, t, 0),
                          memory_space=pltpu.VMEM),
@@ -221,7 +252,7 @@ def qgstep_pallas(pom, po, qo, qom, wekpo, entoc, r_spl, consts,
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=100 * 1024 * 1024),
             interpret=interpret,
-        )(pom_t, po_t, qo_t, qom, wekpo, entoc, rspl)
+        )(pom, po, qo, pom_e, po_e, qo_e, qom, wekpo, entoc, rspl)
 
     return out
 
