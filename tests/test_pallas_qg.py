@@ -68,3 +68,33 @@ def test_pallas_full_step_consistency():
         a = np.asarray(getattr(st1, name))
         b = np.asarray(getattr(st2, name))
         assert np.abs(a - b).max() < 1e-11 * (np.abs(a).max() + 1e-30), name
+
+
+@pytest.mark.parametrize("cyclic", [False, True])
+def test_pallas_multi_tile_edges(cyclic):
+    """A grid taller than TILE_Y exercises the multi-tile path: the
+    window assembly from pipelined blocks + out-of-block `_edges` rows
+    must hand each tile exactly the rows its stencils need across the
+    tile boundary (the single-chip TPU check pins this bit-exactly at
+    961^2; this keeps it covered on the CPU interpret path)."""
+    oc = OceanConfig(nlo=2, dxo=10e3, delek=2.0,
+                     hoc=(350.0, 2900.0), gpoc=(0.015,),
+                     tabsoc=(287.0, 276.0), ah2oc=(1e2, 1e2),
+                     ah4oc=(1e10, 2e10))
+    cfg = ModelConfig(nxta=24, nyta=24, nxaooc=24, nyaooc=24, ndxr=6,
+                      fnot=5.92e-5, beta=2.08e-11, ocean=oc,
+                      ocean_only=True, cyclic_ocean=cyclic)
+    model = build_model(cfg.validate())
+    assert cfg.nypo > 128, "test must span multiple y tiles"
+    st = init_ocean_state(model, po=eddy_pressure(cfg))
+    f = ocean_forcing_from_mean(
+        model, *double_gyre_windstress(cfg, model.grids))
+    st, _ = make_ocean_step(model)(st, f)
+    entoc = _oml(model, st, f)[2]
+    q_ref, qm_ref, _ = _qgostep(model, st, f, entoc)
+    model_p = model.__class__(**{**model.__dict__,
+                                 "cfg": model.cfg.replace(use_pallas=True)})
+    q_pl, qm_pl, _ = _qgostep(model_p, st, f, entoc)
+    a, b = np.asarray(q_ref), np.asarray(q_pl)
+    assert np.abs(a - b).max() < 1e-12 * np.abs(a).max()
+    assert np.array_equal(np.asarray(qm_ref), np.asarray(qm_pl))
