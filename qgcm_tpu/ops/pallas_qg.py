@@ -8,9 +8,10 @@ src/qgosubs.F:45-229, ocadif :231-454) with ONE kernel pass per
 stencil chain runs on-chip, and only the new vorticity tile goes back
 to HBM. The jnp path materialises ~6 intermediate fields in HBM.
 
-Halo handling: BlockSpec blocks cannot overlap, so each input is
-re-laid-out host-side into (..., ntile, TILE+2h, nx) halo windows
-(`_tiles`) -- one extra streaming copy, ~3% of the kernel's traffic.
+Halo handling: BlockSpec blocks cannot overlap, so every field rides
+as plain ragged pipelined blocks and the halo-carrying inputs ship a
+thin `_edges` array of just their out-of-block halo rows (~h/TILE of
+a field); the (TILE+2h, nx+2h) window is assembled in VMEM.
 Boundary conditions are applied in-kernel by masking on global row /
 column indices, exactly mirroring ops/stencils.del2_bc. Ghost values
 outside the domain are zeros (box) or x-wraparound (cyclic, west of
@@ -23,8 +24,6 @@ the jnp operator.
 """
 
 from __future__ import annotations
-
-import functools
 
 import jax
 import jax.numpy as jnp
