@@ -113,7 +113,11 @@ def make_ocean_only_runner(model: Model, jit: bool = True, mesh=None,
         return state
 
     if jit:
-        run = jax.jit(run, static_argnames=("n_steps",))
+        if mesh is not None:
+            from ..parallel.mesh import mesh_jit
+            run = mesh_jit(run, static_argnames=("n_steps",))
+        else:
+            run = jax.jit(run, static_argnames=("n_steps",))
     return run
 
 
@@ -235,5 +239,9 @@ def make_coupled_runner(model: Model, jit: bool = True, mesh=None,
         return ocean, atmos
 
     if jit:
-        run = jax.jit(run, static_argnames=("n_steps",))
+        if mesh is not None:
+            from ..parallel.mesh import mesh_jit
+            run = mesh_jit(run, static_argnames=("n_steps",))
+        else:
+            run = jax.jit(run, static_argnames=("n_steps",))
     return run

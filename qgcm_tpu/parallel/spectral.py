@@ -194,14 +194,24 @@ class ShardedBoxHelmholtz:
         my, mx, By, Bx, By2 = self.my, self.mx, self.By, self.Bx, self.By2
         nyp, ysizes = self.nyp, self.ysizes
 
-        def local(f):
-            # f: (nm, By, Bx) ceil-aligned block
-            f = _place(f, -2, 0, By2)
-            b = lax.all_to_all(f, "x", 1, 2, tiled=True)  # x-pencil
+        def one(fm):
+            # fm: (1, By, Bx) ceil-aligned block of one mode
+            fm = _place(fm, -2, 0, By2)
+            b = lax.all_to_all(fm, "x", 1, 2, tiled=True)  # x-pencil
             b = _place(self._tx(b[..., 1 : 1 + nxi], -1), -1, 0, Xs)
             c = lax.all_to_all(b, ("y", "x"), 2, 1, tiled=True)
-            c = _drop_block_pads(c, -2, my, By2, ysizes)   # (nm,nyp,.)
+            c = _drop_block_pads(c, -2, my, By2, ysizes)   # (1,nyp,.)
             return self._tx(c[..., 1 : 1 + nyi, :], -2)
+
+        def local(f):
+            # one transpose chain PER MODE: each mode's a2a has no
+            # dependence on the other modes' transforms, so the
+            # latency-hiding scheduler can run mode m+1's all_to_all
+            # concurrently with mode m's MXU transform stages (a
+            # single monolithic a2a serialises the whole solve behind
+            # the transpose).
+            return jnp.concatenate(
+                [one(f[m : m + 1]) for m in range(f.shape[0])], axis=0)
 
         fn = jax.shard_map(local, mesh=self.mesh,
                            in_specs=P(None, "y", "x"),
@@ -218,15 +228,21 @@ class ShardedBoxHelmholtz:
         nyp, nxp, ysizes = self.nyp, self.nxp, self.ysizes
         norm = self.norm
 
-        def local(s):
-            # s: (nm, nyi, Xs/P) y-pencil
-            c = _place(self._itx(s, -2), -2, 1, nyp)
+        def one(sm):
+            # sm: (1, nyi, Xs/P) y-pencil of one mode
+            c = _place(self._itx(sm, -2), -2, 1, nyp)
             c = _insert_block_pads(c, -2, my, By2, ysizes)
             b = lax.all_to_all(c, ("y", "x"), 1, 2, tiled=True)
             b = _place(norm * self._itx(b[..., :nxi], -1), -1, 1,
                        mx * Bx)
             a = lax.all_to_all(b, "x", 2, 1, tiled=True)
             return a[..., :By, :]                 # drop local y pad
+
+        def local(s):
+            # per-mode chains: see forward() -- transposes of one mode
+            # overlap the other modes' transform GEMMs
+            return jnp.concatenate(
+                [one(s[m : m + 1]) for m in range(s.shape[0])], axis=0)
 
         fn = jax.shard_map(local, mesh=self.mesh,
                            in_specs=P(None, None, ("y", "x")),
@@ -287,22 +303,18 @@ class ShardedCyclicHelmholtz:
         Yc = Ys // nP
         dtype = rhs.dtype
 
-        def local(f):
-            # f: (nm, By, Bx) block.  Group order ('x','y') throughout:
-            # the first transpose is over 'y' -- see module docstring.
-            f = _place(f, -1, 0, Bx2)
-            b = lax.all_to_all(f, "y", 2, 1, tiled=True)   # y-pencil
+        def one(fm, denom_m):
+            # fm: (1, By, Bx) block of one mode.  Group order ('x','y')
+            # throughout: the first transpose is over 'y' -- see
+            # module docstring.
+            fm = _place(fm, -1, 0, Bx2)
+            b = lax.all_to_all(fm, "y", 2, 1, tiled=True)  # y-pencil
             b = _place(self._ydst(b[..., 1 : 1 + nyi, :]), -2, 0, Ys)
             c = lax.all_to_all(b, ("x", "y"), 1, 2, tiled=True)
             c = _drop_block_pads(c, -1, mx, Bx2, xsizes)   # (.,.,nxp)
             spec = jnp.fft.rfft(c[..., :nx], axis=-1)
-            r = lax.axis_index("x") * my + lax.axis_index("y")
-            lamy_c = lax.dynamic_slice_in_dim(
-                jnp.asarray(self.lamy), r * Yc, Yc)
-            denom = (jnp.asarray(self.lamx)[None, None, :]
-                     + lamy_c[None, :, None]
-                     - jnp.asarray(self.rdm2)[:, None, None])
-            sy = jnp.fft.irfft(spec / denom, n=nx, axis=-1).astype(dtype)
+            sy = jnp.fft.irfft(spec / denom_m, n=nx,
+                               axis=-1).astype(dtype)
             # cyclic duplicate column nxp-1 = column 0, rebuilt here
             # while x is local
             sy = jnp.concatenate([sy, sy[..., :1]], axis=-1)
@@ -312,6 +324,19 @@ class ShardedCyclicHelmholtz:
                        my * By)
             e = lax.all_to_all(d, "y", 1, 2, tiled=True)
             return e[..., :Bx]                    # drop local x pad
+
+        def local(f):
+            r = lax.axis_index("x") * my + lax.axis_index("y")
+            lamy_c = lax.dynamic_slice_in_dim(
+                jnp.asarray(self.lamy), r * Yc, Yc)
+            denom = (jnp.asarray(self.lamx)[None, None, :]
+                     + lamy_c[None, :, None]
+                     - jnp.asarray(self.rdm2)[:, None, None])
+            # per-mode chains: one mode's transposes overlap the other
+            # modes' transform work (see ShardedBoxHelmholtz.forward)
+            return jnp.concatenate(
+                [one(f[m : m + 1], denom[m : m + 1])
+                 for m in range(f.shape[0])], axis=0)
 
         fn = jax.shard_map(local, mesh=self.mesh,
                            in_specs=P(None, "y", "x"),

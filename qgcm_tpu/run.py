@@ -235,7 +235,13 @@ class Driver:
             oc, at, ofor, afor, oacc, aacc, c = out
             return (oc, at, ofor, afor, oacc, aacc, c * nstr)
 
-        self._chunk_fn = jax.jit(chunk_fn, static_argnames=("n_steps",))
+        if mesh is not None:
+            from .parallel.mesh import mesh_jit
+            self._chunk_fn = mesh_jit(chunk_fn,
+                                      static_argnames=("n_steps",))
+        else:
+            self._chunk_fn = jax.jit(chunk_fn,
+                                     static_argnames=("n_steps",))
         self._xforc = jax.jit(xforc) if has_at else None
 
         # Event diagnostics run on-device in ONE dispatch each: un-jitted
