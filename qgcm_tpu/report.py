@@ -51,6 +51,16 @@ def derived_parameters(model) -> dict:
         if max(cfg.ocean.ah2oc) > 0:
             d["spindown_del2_gridscale_days"] = _diffts(
                 2, max(cfg.ocean.ah2oc), [2 * g.dxo], g.dxo)[0]
+        # leapfrog diffusive stability factor (diffts, q-gcm.F:3029-
+        # 3049): nord * dt / t_grid with t_grid = (dx/2)^nord / coeff;
+        # must be < 1 for stable timestepping.
+        if ah4 > 0:
+            d["del4_stability_factor"] = float(
+                4.0 * cfg.dto * ah4 / (0.5 * g.dxo) ** 4)
+        if max(cfg.ocean.ah2oc) > 0:
+            d["del2_stability_factor"] = float(
+                2.0 * cfg.dto * max(cfg.ocean.ah2oc)
+                / (0.5 * g.dxo) ** 2)
         if cfg.ocean.delek > 0:
             # bottom Ekman spindown: 2H / (delek |f0|)
             d["ekman_spindown_days"] = float(
@@ -95,6 +105,12 @@ def startup_report(model) -> str:
                      f"({d['munk_width_oc_km'] * 1e3 / g.dxo:.2f} dx)")
         L.append("del4 spindown on 2dx = "
                  f"{d['spindown_del4_gridscale_days']:.3f} days")
+        if "del4_stability_factor" in d:
+            L.append("del4 timestep stability factor = "
+                     f"{d['del4_stability_factor']:.3g} (must be < 1)")
+        if "del2_stability_factor" in d:
+            L.append("del2 timestep stability factor = "
+                     f"{d['del2_stability_factor']:.3g} (must be < 1)")
         if "ekman_spindown_days" in d:
             L.append(f"bottom Ekman spindown = "
                      f"{d['ekman_spindown_days']:.1f} days")
