@@ -163,7 +163,7 @@ def _bcu_weights(ndxr: int, bccoat: float, dya: float):
             tensor("vs", ndxr), tensor("vn", ndxr + 1))
 
 
-def _sep_factors(w: np.ndarray, dtype):
+def _sep_factors(w: np.ndarray, dtype, max_rank: int = 2):
     """Split W[jd, a, ii, jj] into separable rank terms
     sum_r wy[jd, jj, r] * wx[r, a, ii] (exact: the bicubic of
     tensor-product corner stencils is rank 1; the v-wall variants add
@@ -177,7 +177,10 @@ def _sep_factors(w: np.ndarray, dtype):
     M = M.reshape(jd * njj, a * nii)
     U, s, Vt = np.linalg.svd(M, full_matrices=False)
     r = int((s > 1e-10 * s[0]).sum())
-    assert r <= 2, r
+    # bicubic_refine_uv consumes exactly these ranks (the general band
+    # uses term 0 only); a construction change that raises the rank
+    # must fail HERE, not silently truncate the refinement
+    assert r <= max_rank, (r, max_rank)
     wy = (U[:, :r] * s[:r]).reshape(jd, njj, r)
     wx = Vt[:r].reshape(r, a, nii)
     return np.asarray(wy, dtype), np.asarray(wx, dtype)
@@ -236,9 +239,9 @@ def build_coupling(cfg: ModelConfig, grids: Grids, rad) -> Coupling:
     fsp_at = fsprim_profile(cfg, rad.fspco, grids.ytarel, grids.yla)
 
     return Coupling(
-        w_bbb=_sep_factors(w[0], dtype),
-        w_us=_sep_factors(w[1], dtype),
-        w_un=_sep_factors(w[2], dtype),
+        w_bbb=_sep_factors(w[0], dtype, max_rank=1),
+        w_us=_sep_factors(w[1], dtype, max_rank=1),
+        w_un=_sep_factors(w[2], dtype, max_rank=1),
         w_vs=_sep_factors(w[3], dtype),
         w_vn=_sep_factors(w[4], dtype),
         bil_ix_m=np.asarray(ix_m), bil_ix_p=np.asarray(ix_p),

@@ -575,31 +575,16 @@ def _ocinvq(model: Model, state: OceanState, qo_new: jnp.ndarray,
         # arrays through the whole spectral phase, skipping the
         # misaligned inter-level concatenations of the forward
         # transform and the inverse's input slicing.  The constraint
-        # algebra runs per (x-block, y-block) with static segment
-        # views of the permuted eigenvalue/Parseval vectors.
-        import numpy as _np
-        xsizes, ysizes = helm.block_sizes()
-        xoff = _np.concatenate([[0], _np.cumsum(xsizes)])
-        yoff = _np.concatenate([[0], _np.cumsum(ysizes)])
-        lamx = jnp.asarray(helm.lamx)
-        lamy = jnp.asarray(helm.lamy)
-        rdm2v = jnp.asarray(helm.rdm2)
-        gxv = jnp.asarray(helm.gx)
-        gyv = jnp.asarray(helm.gy)
+        # algebra runs per (x-block, y-block); the segment layout
+        # lives in the solver (helm.block_algebra).
         spec = helm.forward_blocks(wrk)
-        denoms, xin = [], 0.0
-        for i in range(len(xsizes)):
-            drow = []
-            for j in range(len(ysizes)):
-                d = (lamx[xoff[i]:xoff[i + 1]][None, None, :]
-                     + lamy[yoff[j]:yoff[j + 1]][None, :, None]
-                     - rdm2v[:, None, None])
-                drow.append(d)
+        denoms, gxs, gys = helm.block_algebra()
+        xin = 0.0
+        for i in range(len(gxs)):
+            for j in range(len(gys)):
                 xin = xin + jnp.einsum(
-                    "myx,y,x->m", spec[i][j] / d,
-                    gyv[yoff[j]:yoff[j + 1]],
-                    gxv[xoff[i]:xoff[i + 1]], precision="highest")
-            denoms.append(drow)
+                    "myx,y,x->m", spec[i][j] / denoms[i][j],
+                    gys[j], gxs[i], precision="highest")
         xinhom = helm.norm * xin * g.dxo * g.dyo
     else:
         fwd = helm.forward(wrk)
@@ -622,11 +607,10 @@ def _ocinvq(model: Model, state: OceanState, qo_new: jnp.ndarray,
     coef = jnp.concatenate([zero1, hclco * helm.rdm2[1:]])
     if blocks:
         corr = [[(spec[i][j] + coef[:, None, None]
-                  * (gyv[yoff[j]:yoff[j + 1]][None, :, None]
-                     * gxv[xoff[i]:xoff[i + 1]][None, None, :]))
+                  * (gys[j][None, :, None] * gxs[i][None, None, :]))
                  / denoms[i][j]
-                 for j in range(len(ysizes))]
-                for i in range(len(xsizes))]
+                 for j in range(len(gys))]
+                for i in range(len(gxs))]
         pm = helm.inverse_blocks(corr) \
             + jnp.concatenate([zero1, hclco])[:, None, None]
     else:

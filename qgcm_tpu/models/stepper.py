@@ -113,11 +113,8 @@ def make_ocean_only_runner(model: Model, jit: bool = True, mesh=None,
         return state
 
     if jit:
-        if mesh is not None:
-            from ..parallel.mesh import mesh_jit
-            run = mesh_jit(run, static_argnames=("n_steps",))
-        else:
-            run = jax.jit(run, static_argnames=("n_steps",))
+        from ..parallel.mesh import mesh_jit
+        run = mesh_jit(run, mesh, static_argnames=("n_steps",))
     return run
 
 
@@ -239,9 +236,6 @@ def make_coupled_runner(model: Model, jit: bool = True, mesh=None,
         return ocean, atmos
 
     if jit:
-        if mesh is not None:
-            from ..parallel.mesh import mesh_jit
-            run = mesh_jit(run, static_argnames=("n_steps",))
-        else:
-            run = jax.jit(run, static_argnames=("n_steps",))
+        from ..parallel.mesh import mesh_jit
+        run = mesh_jit(run, mesh, static_argnames=("n_steps",))
     return run

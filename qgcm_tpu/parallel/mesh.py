@@ -127,16 +127,18 @@ shard_atmos = shard_tree
 shard_forcing = shard_tree
 
 
-def mesh_jit(fun, **jit_kwargs):
-    """jax.jit for mesh-sharded step programs. On TPU this enables
-    async all_to_all lowering: the pencil-transpose solvers issue one
-    transpose chain per mode precisely so the latency-hiding scheduler
-    can run one mode's all_to_all concurrently with another's MXU
-    transform stages -- but this XLA pass is off by default (sync
-    all-to-all ops; verified by AOT schedule census, and with the flag
-    the spans enclose 1-13 compute fusions each). Harmless flag on a
-    single device; rejected by the CPU compiler, hence the gate."""
-    if jax.default_backend() == "tpu":
+def mesh_jit(fun, mesh=None, **jit_kwargs):
+    """jax.jit for (possibly) mesh-sharded step programs: plain
+    jax.jit unless a mesh is given AND the backend is TPU, in which
+    case async all_to_all lowering is enabled. The pencil-transpose
+    solvers issue one transpose chain per mode precisely so the
+    latency-hiding scheduler can run one mode's all_to_all
+    concurrently with another's MXU transform stages -- but this XLA
+    pass is off by default (sync all-to-all ops; verified by AOT
+    schedule census, and with the flag the spans enclose 1-13 compute
+    fusions each). The flag is rejected by the CPU compiler, hence
+    the backend gate."""
+    if mesh is not None and jax.default_backend() == "tpu":
         jit_kwargs.setdefault(
             "compiler_options",
             {"xla_tpu_enable_async_all_to_all": "true"})

@@ -282,18 +282,10 @@ class ShardedCyclicHelmholtz:
         # base.lamy is already in packed split order under matmul-y;
         # the local _ydst emits that same order at offsets 0..nyi-1.
         self.lamy = _pad_vec(np.asarray(base.lamy), self.Ys, 1.0)
-        self.ytransform = base.ytransform
-        self.mm_precision = base.mm_precision
-
-    def _ydst(self, f):
-        if self.ytransform == "matmul":
-            return _dst1_mm_packed(f, -2, _PREC[self.mm_precision])
-        return dst1(f, axis=-2)
-
-    def _iydst(self, f):
-        if self.ytransform == "matmul":
-            return _idst1_mm_packed(f, -2, _PREC[self.mm_precision])
-        return dst1(f, axis=-2)
+        # delegate the y-DST backend dispatch (fft | packed matmul)
+        # to the base solver -- one copy of the logic
+        self._ydst = base._ydst
+        self._iydst = base._iydst
 
     def solve(self, rhs: jnp.ndarray) -> jnp.ndarray:
         nx, nyi, Ys = self.nx, self.nyi, self.Ys

@@ -143,8 +143,21 @@ class Driver:
             # run big jitted chunks (one cycle per dispatch costs a
             # full dispatch round-trip per substep -- ~30 ms on a
             # remote TPU backend). Capped so a single dispatch stays
-            # minutes, not hours, even at NAtl scale.
-            self.chunk = min(self.nsteps, 4096 * nstr)
+            # minutes, not hours, even at NAtl scale. Prefer a chunk
+            # that DIVIDES the run: a different-length final chunk is
+            # a second static n_steps value and recompiles the whole
+            # chunk program (120-650 s at NAtl scale on the tunnel).
+            cap_cycles = 4096
+            cycles = self.nsteps // nstr
+            if cycles <= cap_cycles:
+                self.chunk = self.nsteps
+            else:
+                div = max((d for d in range(cap_cycles, 0, -1)
+                           if cycles % d == 0), default=1)
+                # degenerate divisors (e.g. prime cycle counts) would
+                # make dispatch overhead matter again; accept one
+                # remainder-size recompile instead
+                self.chunk = (div if div >= 256 else cap_cycles) * nstr
         self.chunk = max(self.chunk, nstr)
         assert self.chunk % nstr == 0 and self.nsteps % nstr == 0
         self.areas_limits = areas_limits
@@ -235,13 +248,9 @@ class Driver:
             oc, at, ofor, afor, oacc, aacc, c = out
             return (oc, at, ofor, afor, oacc, aacc, c * nstr)
 
-        if mesh is not None:
-            from .parallel.mesh import mesh_jit
-            self._chunk_fn = mesh_jit(chunk_fn,
-                                      static_argnames=("n_steps",))
-        else:
-            self._chunk_fn = jax.jit(chunk_fn,
-                                     static_argnames=("n_steps",))
+        from .parallel.mesh import mesh_jit
+        self._chunk_fn = mesh_jit(chunk_fn, mesh,
+                                  static_argnames=("n_steps",))
         self._xforc = jax.jit(xforc) if has_at else None
 
         # Event diagnostics run on-device in ONE dispatch each: un-jitted

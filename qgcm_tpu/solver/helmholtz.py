@@ -480,6 +480,30 @@ class BoxHelmholtz:
         """(xsizes, ysizes): packed spectral segment lengths."""
         return (_split_sizes(self.nxp - 2), _split_sizes(self.nyp - 2))
 
+    def block_algebra(self):
+        """Per-(x-block, y-block) spectral algebra pieces for the tree
+        form: nested lists denom[i][j] (same lamx + lamy - rdm2 as
+        _denom(), on segment views of the PERMUTED vectors) plus the
+        Parseval weight segments gx[i], gy[j]. Keeps the packed-split
+        layout knowledge in the solver -- consumers (_ocinvq) iterate
+        blocks without re-deriving segment offsets."""
+        xsizes, ysizes = self.block_sizes()
+        xoff = np.concatenate([[0], np.cumsum(xsizes)])
+        yoff = np.concatenate([[0], np.cumsum(ysizes)])
+        lamx = jnp.asarray(self.lamx)
+        lamy = jnp.asarray(self.lamy)
+        rdm2 = jnp.asarray(self.rdm2)
+        gxs = [jnp.asarray(self.gx)[xoff[i]:xoff[i + 1]]
+               for i in range(len(xsizes))]
+        gys = [jnp.asarray(self.gy)[yoff[j]:yoff[j + 1]]
+               for j in range(len(ysizes))]
+        denoms = [[(lamx[xoff[i]:xoff[i + 1]][None, None, :]
+                    + lamy[yoff[j]:yoff[j + 1]][None, :, None]
+                    - rdm2[:, None, None])
+                   for j in range(len(ysizes))]
+                  for i in range(len(xsizes))]
+        return denoms, gxs, gys
+
     def forward_blocks(self, rhs: jnp.ndarray) -> list:
         """Interior 2-D DST as nested blocks spec[i][j] (x-major);
         concatenating j along -2 then i along -1 reproduces

@@ -199,10 +199,15 @@ def test_cyclic_solve_matmul_y_sharded(shape, monkeypatch):
     import qgcm_tpu.solver.helmholtz as H
     monkeypatch.setattr(H, "_MM_SPLIT_MIN", 4)
     rng = np.random.default_rng(9)
-    base = make_cyclic_helmholtz(17, 34, 0.7, 0.9, RDM2,
+    # nyp=35 -> y interior 33 (ODD): the packed radix split actually
+    # recurses, so the permuted-lamy/packed-order alignment is really
+    # exercised (an even interior degenerates to the plain sine GEMM
+    # with an identity permutation and would pin nothing)
+    base = make_cyclic_helmholtz(17, 35, 0.7, 0.9, RDM2,
                                  ytransform="matmul")
+    assert len(H._split_sizes(33)) > 1
     sh = ShardedCyclicHelmholtz(base, _mesh(shape))
-    rhs = jnp.asarray(rng.standard_normal((3, 34, 17)))
+    rhs = jnp.asarray(rng.standard_normal((3, 35, 17)))
     rhs = rhs.at[..., -1].set(rhs[..., 0])     # cyclic duplicate col
     a = np.asarray(base.solve(rhs))
     b = np.asarray(jax.jit(sh.solve)(rhs))
