@@ -70,10 +70,10 @@ def main():
         bw = (DCN_BW if args.dcn else ICI_BW) * links
         print(f"\n=== {label} ({bw/1e9:.0f} GB/s/chip) ===")
         # measured single-chip step times (BENCHMARKS.md round-2 table)
-        project("NAtl 4801^2x3 f32 (strong)", 4799, 3, 91.4, ps, bw)
-        project("double-gyre 961^2x3 f32 (strong)", 959, 3, 1.48,
+        project("NAtl 4801^2x3 f32 (strong)", 4799, 3, 87.0, ps, bw)
+        project("double-gyre 961^2x3 f32 (strong)", 959, 3, 1.39,
                 ps, bw)
-        weak("NAtl-density per chip", 91.4, 3 * 4799 * 4799 * 4,
+        weak("NAtl-density per chip", 87.0, 3 * 4799 * 4799 * 4,
              ps, bw)
 
     print("""
