@@ -88,14 +88,15 @@ def _sine_matrix(n: int, dtype) -> jnp.ndarray:
 
 # Below this half-size, stop even/odd splitting: smaller matmuls lose
 # more MXU efficiency than the halved FLOPs gain. The round-2
-# interleave-based kernels measured best at 1024; with the packed
-# scale-folded kernels (no per-level glue passes) deeper splits win
-# at every production size (tools/bench_packed_sweep.py, v5e f32
-# ms/solve):  959: 480->2.42 vs 1024->2.80;  1919: 480->7.17 vs
-# 1024->12.14;  4799: 480->77.8 vs 1024->80.6 (300: 79.0).  Accuracy
-# IMPROVES with depth (smaller GEMMs accumulate less bf16 error:
-# 8.2e-7 vs 1.2e-6 rel at 959 against the f64 oracle).
-_MM_SPLIT_MIN = 480
+# interleave-based kernels measured best at 1024; the packed
+# scale-folded kernels moved the optimum to 480, and the midpoint
+# sign-epilogue kernels (less glue per level) to 240
+# (tools/bench_packed_sweep.py, v5e f32 ms/solve with the final
+# kernels:  959: 240->2.33 vs 480->2.45;  4799: 240->79.8 vs
+# 480->80.2).  Accuracy IMPROVES with depth (smaller GEMMs accumulate
+# less bf16 error: 8.2e-7 vs 1.2e-6 rel at 959 against the f64
+# oracle for 480 vs 1024).
+_MM_SPLIT_MIN = 240
 
 # f32 matmuls on the MXU run as multi-pass bf16: 'highest' = 6 passes
 # (solve rel err ~1e-6 vs an f64 oracle -- f32-FFT-equivalent),
