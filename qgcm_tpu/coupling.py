@@ -179,8 +179,12 @@ def _sep_factors(w: np.ndarray, dtype, max_rank: int = 2):
     r = int((s > 1e-10 * s[0]).sum())
     # bicubic_refine_uv consumes exactly these ranks (the general band
     # uses term 0 only); a construction change that raises the rank
-    # must fail HERE, not silently truncate the refinement
-    assert r <= max_rank, (r, max_rank)
+    # must fail HERE, not silently truncate the refinement (a real
+    # exception, not an assert: `python -O` strips asserts)
+    if r > max_rank:
+        raise ValueError(
+            f"bicubic weight tensor has separable rank {r} > "
+            f"{max_rank}; the refinement would be truncated")
     wy = (U[:, :r] * s[:r]).reshape(jd, njj, r)
     wx = Vt[:r].reshape(r, a, nii)
     return np.asarray(wy, dtype), np.asarray(wx, dtype)

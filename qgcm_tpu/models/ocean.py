@@ -437,20 +437,27 @@ def _qgstep_consts(model):
             cfg.fnot / cfg.ocean.hoc[0], cfg.fnot / cfg.ocean.hoc[1])
 
 
-def _qgostep_halo(model, state, forcing, entoc, mesh, variant):
+def _qgostep_halo(model, state, forcing, entoc, mesh, variant,
+                  use_pallas=None):
     """shard_map halo-exchange variant of _qgostep
     (parallel/halo.qgstep_halo): explicit ppermute halos over the mesh
-    'y' axis, bit-identical update. Cyclic constraint integrals are
-    recomputed from thin wall slices like the Pallas path."""
+    'y' axis, bit-identical update. With the Pallas kernel enabled it
+    runs PER SHARD inside the shard_map (mesh runs keep the fused
+    kernel; only bare GSPMD cannot partition a pallas_call). Cyclic
+    constraint integrals are recomputed from thin wall slices like the
+    Pallas path."""
     from ..parallel.halo import qgstep_halo
     cfg = model.cfg
     cyclic = cfg.cyclic_ocean
     sponge = cfg.sponge.enabled
+    if use_pallas is None:
+        use_pallas = pallas_enabled(cfg)
     rspl = (model.r_spl if sponge else jnp.zeros_like(forcing.wekpo))
     qo_new = qgstep_halo(
         state.pom, state.po, state.qo, state.qom, forcing.wekpo, entoc,
         rspl, _qgstep_consts(model), cfg.ocean.ah2oc, cfg.ocean.ah4oc,
-        cyclic=cyclic, sponge=sponge, mesh=mesh, variant=variant)
+        cyclic=cyclic, sponge=sponge, mesh=mesh, variant=variant,
+        use_pallas=use_pallas)
     qom_new = state.qo
     if not cyclic:
         return qo_new, qom_new, None
@@ -640,9 +647,11 @@ def make_ocean_step(model: Model, halo=None, sharded=False):
     halo: optional (mesh, variant) pair routing the vorticity step
     through the explicit shard_map halo-exchange path
     (parallel/halo.py) instead of GSPMD; variant is 'staged', 'deep'
-    or 'overlap'. sharded=True (any mesh run) disables the Pallas
-    kernel path: a pallas_call is single-device code and cannot be
-    partitioned by GSPMD."""
+    or 'overlap', and the fused Pallas kernel (when enabled for the
+    config) runs per shard INSIDE the shard_map. sharded=True with no
+    halo pair (bare-GSPMD mesh run) disables the Pallas kernel path:
+    GSPMD cannot partition a pallas_call -- pass a halo variant to
+    keep the kernel on mesh runs."""
     cfg = model.cfg
     g = model.grids
     dtype = jnp.dtype(cfg.dtype)

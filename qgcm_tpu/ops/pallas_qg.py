@@ -65,14 +65,28 @@ def _edges(f, h, cyclic, nty):
 
 
 def _make_kernel(ny, nx, nl, cyclic, sponge, consts, ah2, ah4):
+    # RAGGED-TILE INVARIANT: when ny % TILE_Y != 0, block rows with
+    # global index >= ny hold UNSPECIFIED data (Mosaic pads the edge
+    # tile; interpret mode pads differently). Every value the stencil
+    # chain derives from those rows must only ever reach (a) output
+    # rows >= ny, which Mosaic discards on writeback, or (b) jnp.where
+    # branches that a global-row mask rejects. All masks here compare
+    # against `rows(...)`/`gr0` GLOBAL indices, and the north-wall
+    # mask (gr == ny - 1) fires strictly below the ragged region, so
+    # the invariant holds. If you widen a read or weaken a mask,
+    # re-check it on REAL TPU hardware -- the CPU interpret test can
+    # pass while Mosaic's padding differs.
     (dxm2, bcfac, adfac, rfnot, tdt, bdrfac, c1spl, beta_y0, beta_dy,
      fohfac0, fohfac1) = consts
 
-    def kernel(pom_blk, po_blk, qo_blk, pom_e, po_e, qo_e, qom_ref,
-               wek_ref, ent_ref, rspl_ref, out_ref):
+    def kernel(goff_ref, pom_blk, po_blk, qo_blk, pom_e, po_e, qo_e,
+               qom_ref, wek_ref, ent_ref, rspl_ref, out_ref):
         k = pl.program_id(0)
         t = pl.program_id(1)
-        base = t * TILE_Y
+        # goff: global row index of array row 0 (0 for full-field
+        # calls; shard_offset - halo inside the shard_map halo path,
+        # where ghost rows of OTHER shards lead the local block)
+        base = t * TILE_Y + goff_ref[0]
 
         def window(blk, edg, h):
             """Assemble the (T+2h, nx+2h) halo window in VMEM from the
@@ -181,13 +195,21 @@ def _make_kernel(ny, nx, nl, cyclic, sponge, consts, ah2, ah4):
 
 
 def qgstep_pallas(pom, po, qo, qom, wekpo, entoc, r_spl, consts,
-                  ah2, ah4, *, cyclic, sponge, interpret=False):
+                  ah2, ah4, *, cyclic, sponge, interpret=False,
+                  row0=0, ny_total=None):
     """Fused vorticity leapfrog. `consts`: python-float tuple
     (dxm2, bcfac, adfac, 1/f0, tdt, bdrfac, c1spl, beta*y0, beta*dy,
     fohfac0, fohfac1); ah2/ah4: per-layer python-float tuples.
     Returns qo_new with the zonal boundary rows carrying the OLD qo
-    (overwritten later by the boundary PV relation)."""
+    (overwritten later by the boundary PV relation).
+
+    row0/ny_total support per-shard calls inside the shard_map halo
+    path (parallel/halo.py): the arrays then hold a ghost-extended
+    local window whose row 0 sits at GLOBAL row `row0` (a traced
+    int32 scalar is fine), while the wall/sponge masks key on the
+    global domain height `ny_total` (static)."""
     nl, ny, nx = pom.shape
+    ny_total = ny if ny_total is None else ny_total
     nty = pl.cdiv(ny, TILE_Y)
     nxw = nx + 2 * HALO
 
@@ -200,7 +222,7 @@ def qgstep_pallas(pom, po, qo, qom, wekpo, entoc, r_spl, consts,
     qo_e = _edges(qo, 1, cyclic, nty)
     rspl = r_spl if sponge else jnp.zeros_like(wekpo)
 
-    kernel = _make_kernel(ny, nx, nl, cyclic, sponge, consts,
+    kernel = _make_kernel(ny_total, nx, nl, cyclic, sponge, consts,
                           tuple(ah2), tuple(ah4))
 
     # The package enables jax_enable_x64 globally (CPU parity runs);
@@ -211,10 +233,12 @@ def qgstep_pallas(pom, po, qo, qom, wekpo, entoc, r_spl, consts,
                  if jax.config.jax_enable_x64 and not interpret
                  else _nullcontext())
     with x64_scope:
+        goff = jnp.asarray(row0, jnp.int32).reshape(1)
         out = pl.pallas_call(
         kernel,
         grid=(nl, nty),
         in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),       # global row0
             pl.BlockSpec((1, TILE_Y, nx), lambda k, t: (k, t, 0),
                          memory_space=pltpu.VMEM),       # pom block
             pl.BlockSpec((1, TILE_Y, nx), lambda k, t: (k, t, 0),
@@ -251,7 +275,8 @@ def qgstep_pallas(pom, po, qo, qom, wekpo, entoc, r_spl, consts,
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=100 * 1024 * 1024),
             interpret=interpret,
-        )(pom, po, qo, pom_e, po_e, qo_e, qom, wekpo, entoc, rspl)
+        )(goff, pom, po, qo, pom_e, po_e, qo_e, qom, wekpo, entoc,
+          rspl)
 
     return out
 

@@ -213,11 +213,20 @@ def _chain(pomp, pop, qop, qom, wek, ent, rspl, gtop3, geom):
 # ----------------------------------------------------------------------
 
 def qgstep_halo(pom, po, qo, qom, wekpo, entoc, r_spl, consts, ah2,
-                ah4, *, cyclic, sponge, mesh, variant="overlap"):
+                ah4, *, cyclic, sponge, mesh, variant="overlap",
+                use_pallas=False):
     """Vorticity leapfrog with explicit ppermute halo exchange over the
     mesh 'y' axis. Same contract as ops/pallas_qg.qgstep_pallas:
     returns qo_new with zonal rows carrying the OLD qo. Bit-identical
-    to models/ocean._qgostep's update."""
+    to models/ocean._qgostep's update.
+
+    use_pallas=True runs the fused Pallas kernel PER SHARD on the
+    ghost-extended local window (a pallas_call inside shard_map is
+    legal manual SPMD -- only bare GSPMD cannot partition one), so
+    mesh runs keep the kernel's measured single-chip win. In the
+    'overlap' schedule only the wide interior chain moves to the
+    kernel; the thin 9-row edge strips stay jnp, preserving the
+    comm/compute overlap structure."""
     (dxm2, bcfac, adfac, rfnot, tdt, bdrfac, c1spl, beta_y0, beta_dy,
      fohfac0, fohfac1) = consts
     nl, ny, nx = pom.shape
@@ -235,6 +244,25 @@ def qgstep_halo(pom, po, qo, qom, wekpo, entoc, r_spl, consts, ah2,
     def pad_y(f):
         widths = [(0, 0)] * (f.ndim - 2) + [(0, ny_pad - ny), (0, 0)]
         return jnp.pad(f, widths)
+
+    def _pallas_window(pomw, pow_, qow, qom, wek, ent, rspl, gtop3):
+        """Fused kernel on a 3-ghost-row window (nl, R+6, nx): the
+        per-row arrays are zero-extended into the ghost rows (their
+        ghost outputs are discarded) and the kernel's wall/sponge
+        masks key on global rows via row0 = gtop3."""
+        from ..ops.pallas_qg import qgstep_pallas
+        import jax as _jax
+
+        def gpad(f):
+            return jnp.pad(f, [(0, 0)] * (f.ndim - 2)
+                           + [(3, 3), (0, 0)])
+
+        out = qgstep_pallas(
+            pomw, pow_, qow, gpad(qom), gpad(wek), gpad(ent),
+            gpad(rspl), consts, ah2, ah4, cyclic=cyclic, sponge=sponge,
+            interpret=_jax.default_backend() == "cpu",
+            row0=gtop3, ny_total=ny)
+        return out[:, 3:-3]
 
     def local(pom, po, qo, qom, wek, ent, rspl):
         gtop = lax.axis_index(AXIS).astype(jnp.int32) * by
@@ -254,6 +282,10 @@ def qgstep_halo(pom, po, qo, qom, wekpo, entoc, r_spl, consts, ah2,
 
         if variant == "deep":
             full = _with_halo(stack, 3, my)
+            if use_pallas:
+                return _pallas_window(full[:nl], full[nl:2 * nl],
+                                      full[2 * nl:], qom, wek, ent,
+                                      rspl, gtop - 3)
             return _chain(full[:nl], full[nl:2 * nl], full[2 * nl:],
                           qom, wek, ent, rspl, gtop - 3, geom)
 
@@ -264,11 +296,27 @@ def qgstep_halo(pom, po, qo, qom, wekpo, entoc, r_spl, consts, ah2,
         sg, ng = _exchange(stack, 3, my)
         z = jnp.zeros_like(stack[..., :3, :])
         full0 = jnp.concatenate([z, stack, z], axis=-2)
-        q_int = _chain(full0[:nl], full0[nl:2 * nl], full0[2 * nl:],
-                       qom, wek, ent, rspl, gtop - 3, geom)
+        if use_pallas:
+            q_int = _pallas_window(full0[:nl], full0[nl:2 * nl],
+                                   full0[2 * nl:], qom, wek, ent,
+                                   rspl, gtop - 3)
+        else:
+            q_int = _chain(full0[:nl], full0[nl:2 * nl],
+                           full0[2 * nl:], qom, wek, ent, rspl,
+                           gtop - 3, geom)
 
         def band(parts, core_sl, g0):
             strip = jnp.concatenate(parts, axis=-2)
+            if use_pallas:
+                # thin 9-row kernel calls: keeps overlap+pallas
+                # uniformly kernel arithmetic (the jnp chain and the
+                # kernel agree only to the last ulp under the CPU
+                # interpreter at cyclic wrap columns)
+                return _pallas_window(strip[:nl], strip[nl:2 * nl],
+                                      strip[2 * nl:],
+                                      qom[..., core_sl, :],
+                                      wek[core_sl], ent[core_sl],
+                                      rspl[core_sl], g0)
             return _chain(strip[:nl], strip[nl:2 * nl],
                           strip[2 * nl:], qom[..., core_sl, :],
                           wek[core_sl], ent[core_sl],
@@ -293,10 +341,13 @@ def qgstep_halo(pom, po, qo, qom, wekpo, entoc, r_spl, consts, ah2,
 
     spec3 = P(None, AXIS, None)
     spec2 = P(AXIS, None)
+    # check_vma=False: pallas_call's out_shape carries no varying-mesh
+    # annotation, which the vma checker rejects inside shard_map; the
+    # body is uniform hand-written SPMD so the check adds nothing here
     fn = jax.shard_map(
         local, mesh=mesh,
         in_specs=(spec3, spec3, spec3, spec3, spec2, spec2, spec2),
-        out_specs=spec3)
+        out_specs=spec3, check_vma=False)
     out = fn(pad_y(pom), pad_y(po), pad_y(qo), pad_y(qom),
              pad_y(wekpo), pad_y(entoc), pad_y(r_spl))
     return out[:, :ny]

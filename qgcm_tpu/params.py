@@ -219,6 +219,12 @@ def write_matlab_params(path: str, p: RunParams, cfg: ModelConfig,
     put("xcexp", p.xcexp); put("ycexp", p.ycexp)
     put("valday", p.valday); put("odiday", p.odiday)
     put("adiday", p.adiday); put("dgnday", p.dgnday)
+    # output intervals in steps (out_param.f:108-109): noutoc counts
+    # OCEAN steps (dto = nstr*dta), noutat atmospheric steps
+    dto = p.dta * p.nstr
+    put("noutoc", round(p.odiday * 86400.0 / dto) if p.odiday > 0 else 0)
+    put("noutat", round(p.adiday * 86400.0 / p.dta) if p.adiday > 0
+        else 0)
     put("prtday", p.prtday); put("resday", p.resday)
     put("nsko", p.nsko); put("nska", p.nska)
     put("dtavat", p.dtavat); put("dtavoc", p.dtavoc)

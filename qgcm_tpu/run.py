@@ -158,6 +158,16 @@ class Driver:
                 # make dispatch overhead matter again; accept one
                 # remainder-size recompile instead
                 self.chunk = (div if div >= 256 else cap_cycles) * nstr
+                if self.nsteps % self.chunk:
+                    import warnings
+                    warnings.warn(
+                        f"run length ({cycles} cycles) has no "
+                        f"divisor in [256, {cap_cycles}]; using chunk "
+                        f"= {self.chunk // nstr} cycles, so the final "
+                        f"remainder chunk is a second program and "
+                        f"pays one extra compile (minutes at large "
+                        f"grid sizes) before it dispatches",
+                        stacklevel=3)
         self.chunk = max(self.chunk, nstr)
         assert self.chunk % nstr == 0 and self.nsteps % nstr == 0
         self.areas_limits = areas_limits

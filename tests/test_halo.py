@@ -68,6 +68,34 @@ def test_kernel_bit_exact(cyclic, variant):
 
 
 @pytest.mark.parametrize("cyclic", [False, True])
+@pytest.mark.parametrize("variant", ["deep", "overlap"])
+def test_pallas_in_shard_map_bit_exact(cyclic, variant):
+    """The fused Pallas kernel running PER SHARD inside the shard_map
+    halo path must reproduce the FULL-FIELD kernel bit-exactly (the
+    shard_map wrapper adds nothing numerically) -- this is the path
+    that keeps the kernel's measured single-chip win on mesh runs (a
+    pallas_call inside shard_map is manual SPMD; only bare GSPMD
+    cannot partition one).  Against the XLA chain the comparison is
+    to 1e-12: the CPU interpreter reassociates the cyclic wrap columns
+    at the last ulp (on the TPU backend the kernel itself is
+    bit-exact vs the chain, BENCHMARKS.md)."""
+    from qgcm_tpu.models.ocean import _qgostep_pallas
+    model, st, f = _setup(cyclic)
+    _, _, entoc, *_ = _oml(model, st, f)
+    q_full, _, cyc_ref = _qgostep_pallas(model, st, f, entoc)
+    q, _, cyc = _qgostep_halo(model, st, f, entoc, _mesh(4), variant,
+                              use_pallas=True)
+    assert float(jnp.abs(q_full - q).max()) == 0.0
+    q_ref, _, _ = _qgostep(model, st, f, entoc)
+    scale = float(jnp.abs(q_ref).max())
+    assert float(jnp.abs(q_ref - q).max()) < 1e-12 * scale
+    if cyclic:
+        for k in cyc_ref:
+            np.testing.assert_array_equal(np.asarray(cyc_ref[k]),
+                                          np.asarray(cyc[k]), err_msg=k)
+
+
+@pytest.mark.parametrize("cyclic", [False, True])
 def test_runner_matches_gspmd(cyclic):
     """20 steps through the full runner: the halo path must agree with
     the GSPMD path on the SAME mesh to reduction-order tolerance (the

@@ -104,7 +104,7 @@ def test_matlab_dump_complete_manifest(tmp_path):
         "gpat", "ah4at", "tabsat", "tat", "hat", "name", "outfloc",
         "outflat", "tmbara", "tmbaro", "cphsoc", "rdefoc", "tnbdy",
         "cphsat", "rdefat", "aface", "bface", "cface", "dface",
-        "l_spl", "c1_spl"]
+        "l_spl", "c1_spl", "noutoc", "noutat"]
     missing = [n for n in manifest if n not in names]
     assert not missing, missing
 

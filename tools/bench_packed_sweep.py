@@ -70,13 +70,19 @@ def main():
             nxp, nxp, 5e3, 5e3, rdm2, dtype=jnp.float32, transform="fft")
         dt = timed(fft_solver, x, args.reps, args.inner)
         row.append(f"fft {dt*1e3:7.2f}")
-        for sm in splits:
-            hh._MM_SPLIT_MIN = sm
-            solver = hh.make_box_helmholtz(
-                nxp, nxp, 5e3, 5e3, rdm2, dtype=jnp.float32,
-                transform="matmul")
-            dt = timed(solver, x, args.reps, args.inner)
-            row.append(f"mm[{sm}] {dt*1e3:7.2f}")
+        # restore the module global afterwards: a solver built later in
+        # this process must see the split depth its _split_perm assumed
+        orig_split = hh._MM_SPLIT_MIN
+        try:
+            for sm in splits:
+                hh._MM_SPLIT_MIN = sm
+                solver = hh.make_box_helmholtz(
+                    nxp, nxp, 5e3, 5e3, rdm2, dtype=jnp.float32,
+                    transform="matmul")
+                dt = timed(solver, x, args.reps, args.inner)
+                row.append(f"mm[{sm}] {dt*1e3:7.2f}")
+        finally:
+            hh._MM_SPLIT_MIN = orig_split
         print("   ".join(row), flush=True)
 
 
