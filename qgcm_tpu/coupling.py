@@ -290,6 +290,56 @@ def _band_refine(taps_rows: jnp.ndarray, factors) -> jnp.ndarray:
     return out
 
 
+def _footprint_interior(cfg) -> bool:
+    """True when the ocean footprint's bicubic bands are all INTERIOR
+    bands of the fine atmospheric grid (>= 1 coarse-cell margin to
+    each zonal wall), so the window refinement needs only the 'bbb'
+    weights. Holds for every example configuration (the ocean is
+    centred inside the atmosphere)."""
+    jc_lo = cfg.ny1 - 1
+    jc_hi = cfg.ny1 - 1 + cfg.nyaooc
+    return jc_lo >= 1 and jc_hi <= cfg.nyta - 2
+
+
+def bicubic_refine_window(coup: Coupling, u1at: jnp.ndarray,
+                          v1at: jnp.ndarray, cfg):
+    """Refine the coarse velocities directly ONTO the ocean window of
+    the fine grid -- (nypo, nxpo) -- without materialising the rest.
+
+    Used by the mesh-sharded xforc: the full fine grid is computed in
+    fine-grid sharding for the atmospheric outputs, while the ocean
+    windstress needs the same values in OCEAN sharding; slicing the
+    sharded fine array at the (joc0, ioc0) offset makes GSPMD
+    all-gather it. Recomputing the window from the (replicated,
+    atmos-sized) coarse rows is communication-free and costs only
+    O(window) extra flops. Same arithmetic as bicubic_refine_uv's
+    general bands: x-refine the needed coarse rows, slice the window
+    columns, 4-tap y-contract the footprint bands (all interior --
+    guarded by _footprint_interior)."""
+    ndxr = cfg.ndxr
+    nxpo, nypo = cfg.nxpo, cfg.nypo
+    ioc0 = (cfg.nx1 - 1) * ndxr
+    jc_lo = cfg.ny1 - 1
+    nb = cfg.nyaooc + 1            # bands; the last contributes 1 row
+    wy_b, wx_b = coup.w_bbb
+
+    def win(f):
+        taps = _xtaps(f[:, :-1])
+        X = _xrefine(taps, wx_b[0])           # (nypa, nxtaor)
+        if ioc0 + nxpo <= X.shape[1]:
+            Xw = jax.lax.dynamic_slice_in_dim(X, ioc0, nxpo, axis=1)
+        else:                                  # cyclic: duplicate col
+            Xw = jnp.concatenate([X[:, ioc0:], X[:, :1]], axis=1)
+        Xp = jnp.pad(Xw, ((1, 1), (0, 0)))
+        S = jnp.stack([Xp[jc_lo + d: jc_lo + d + nb]
+                       for d in range(4)], axis=0)
+        wyv = jnp.asarray(wy_b[:, :, 0])
+        g = jnp.einsum("dzm,dj->zjm", S, wyv, precision="highest")
+        return g.reshape(-1, nxpo)[:nypo]
+
+    return win(u1at), win(v1at)
+
+
 def bicubic_refine_uv(coup: Coupling, u1at: jnp.ndarray,
                       v1at: jnp.ndarray, ndxr: int):
     """Refine coarse p-grid velocities (nypa, nxpa) to the
@@ -424,12 +474,28 @@ def _bilint_ast(coup: Coupling, astm: jnp.ndarray) -> jnp.ndarray:
 # xforc proper
 # ----------------------------------------------------------------------
 
-def make_xforc(model):
+def make_xforc(model, mesh=None):
     """Build xforc(pam, pom, sstm, astm, hmixam)
     -> (OceanForcing | None, AtmosForcing, XforcDiags).
 
     pom/sstm may be None in atmos_only mode (then sstm must be the
     prescribed mean SST field instead); pam/astm/hmixam may not.
+
+    With `mesh`, the coupling is laid out to keep every collective
+    small (<= the coarse atmospheric grid, which is ndxr^2 times
+    smaller than the ocean/fine grids):
+      * the coarse inputs u1at/v1at/astm are REPLICATED explicitly
+        (three atmos-sized all-gathers per cycle) -- every
+        cross-resolution interpolation then reads replicated data and
+        is communication-free;
+      * the fine-grid stress phase is pinned to the spatial mesh;
+      * the ocean windstress is recomputed directly in OCEAN sharding
+        from the replicated coarse rows (bicubic_refine_window)
+        instead of slicing the sharded fine grid at the footprint
+        offset, which GSPMD can only lower as a full-field all-gather.
+    Exception: tau_udiff must scatter the ocean velocity difference
+    INTO the fine grid (it feeds wekpa/the atmospheric stress), which
+    keeps one ocean-window-sized gather per cycle on mesh runs.
     """
     cfg: ModelConfig = model.cfg
     g: Grids = model.grids
@@ -491,6 +557,28 @@ def make_xforc(model):
     else:
         cdrfac, qu2fac = cdrfaa, qu2faa
 
+    sharded = mesh is not None
+    window_path = sharded and not cfg.atmos_only \
+        and _footprint_interior(cfg)
+    if sharded:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        def _repl(f):
+            return jax.lax.with_sharding_constraint(
+                f, NamedSharding(mesh, P()))
+
+        def _grid(f):
+            return jax.lax.with_sharding_constraint(
+                f, NamedSharding(mesh, P("y", "x")))
+
+    def _quad_drag(u, v, cdr, qu2):
+        """Quadratic-drag windstress (7.1-7.4) from velocities."""
+        sp2 = u * u + v * v
+        scasqd = -0.5 + 0.5 * jnp.sqrt(1.0 + qu2 * sp2)
+        scashr = jnp.sqrt(scasqd)
+        cdochi = cdr * scashr / (1.0 + scasqd)
+        return cdochi * (u - scashr * v), cdochi * (v + scashr * u)
+
     def xforc(pam, pom, sstm, astm, hmixam):
         # --- atmospheric geostrophic velocity at p points ---
         pa1 = pam[0]
@@ -504,9 +592,19 @@ def make_xforc(model):
         v1at = hxafac * (pe - pw)
         v1at = v1at.at[0, :].set(0.0).at[-1, :].set(0.0)
 
+        if sharded:
+            # replicate the coarse velocities (atmos-sized gathers):
+            # both the fine-grid refinement and the ocean-window
+            # recomputation below then read replicated rows -- no
+            # field-sized collective anywhere downstream
+            u1at, v1at = _repl(u1at), _repl(v1at)
+
         u1ator, v1ator = bicubic_refine_uv(coup, u1at, v1at, ndxr)
+        if sharded:
+            u1ator, v1ator = _grid(u1ator), _grid(v1ator)
 
         # --- subtract ocean geostrophic velocity (tau_udiff) ---
+        u1oc = v1oc = None
         if cfg.tau_udiff and pom is not None:
             po1 = pom[0]
             u1oc = -hxofac * (po1[2:, :] - po1[:-2, :])
@@ -535,12 +633,7 @@ def make_xforc(model):
                                ioc0:ioc0 + nxpo].add(-v1oc)
 
         # --- quadratic-drag windstress on the fine grid (7.1-7.4) ---
-        sp2 = u1ator * u1ator + v1ator * v1ator
-        scasqd = -0.5 + 0.5 * jnp.sqrt(1.0 + qu2fac * sp2)
-        scashr = jnp.sqrt(scasqd)
-        cdochi = cdrfac * scashr / (1.0 + scasqd)
-        tauxaor = cdochi * (u1ator - scashr * v1ator)
-        tauyaor = cdochi * (v1ator + scashr * u1ator)
+        tauxaor, tauyaor = _quad_drag(u1ator, v1ator, cdrfac, qu2fac)
 
         # --- sample tau onto the coarse atmospheric p grid ---
         tauxa = tauxaor[::ndxr, ::ndxr]
@@ -574,15 +667,31 @@ def make_xforc(model):
 
         # --- oceanic stresses and Ekman velocities ---
         ocean_forcing = None
-        asto = _bilint_ast(coup, astm)
+        # the bilinear AST map gathers atmos rows with ocean-grid
+        # indices; from a replicated (atmos-sized) operand it is local
+        asto = _bilint_ast(coup, _repl(astm) if sharded else astm)
         fsp_o = coup.fsp_oc[:, None]
         ocnrad = rad.D0up * sstm
         slhf = xlamda * (sstm - asto)
         if not cfg.atmos_only:
-            tauxo = raoro * jax.lax.dynamic_slice(
-                tauxaor, (joc0, ioc0), (nypo, nxpo))
-            tauyo = raoro * jax.lax.dynamic_slice(
-                tauyaor, (joc0, ioc0), (nypo, nxpo))
+            if window_path:
+                # recompute the window stress in ocean sharding from
+                # the replicated coarse rows (same arithmetic as the
+                # fine-grid path restricted to the footprint; inside
+                # the window the tau_udiff coefficients are uniform)
+                u_w, v_w = bicubic_refine_window(coup, u1at, v1at, cfg)
+                if u1oc is not None:
+                    u_w, v_w = u_w - u1oc, v_w - v1oc
+                cdr_w = cdrfab if cfg.tau_udiff else cdrfaa
+                qu2_w = qu2fab if cfg.tau_udiff else qu2faa
+                tx_w, ty_w = _quad_drag(u_w, v_w, cdr_w, qu2_w)
+                tauxo = _grid(raoro * tx_w)
+                tauyo = _grid(raoro * ty_w)
+            else:
+                tauxo = raoro * jax.lax.dynamic_slice(
+                    tauxaor, (joc0, ioc0), (nypo, nxpo))
+                tauyo = raoro * jax.lax.dynamic_slice(
+                    tauyaor, (joc0, ioc0), (nypo, nxpo))
             from .models.ocean import ocean_forcing_from_mean
             atmrad_oc = rad.Dmdown * asto
             fnetoc = -fsp_o - atmrad_oc - ocnrad - slhf
@@ -603,8 +712,17 @@ def make_xforc(model):
 
         # over-ocean contribution, aggregated to atmos cells
         contrib = ocnrad + (rad.Dmdown - rad.Dmup) * asto + slhf
-        blocks = contrib.reshape(cfg.nyaooc, ndxr,
-                                 cfg.nxaooc, ndxr).sum((1, 3))
+        if sharded:
+            # reduce_window instead of reshape().sum(): the reshape
+            # across the sharded y axis lowers to an ocean-row-sized
+            # all-gather; the windowed reduction moves only boundary
+            # rows (summation order differs at ~1e-15 rel)
+            blocks = jax.lax.reduce_window(
+                contrib, jnp.zeros((), contrib.dtype), jax.lax.add,
+                (ndxr, ndxr), (ndxr, ndxr), "valid")
+        else:
+            blocks = contrib.reshape(cfg.nyaooc, ndxr,
+                                     cfg.nxaooc, ndxr).sum((1, 3))
         fnetat = fnetat.at[cfg.ny1 - 1:cfg.ny1 - 1 + cfg.nyaooc,
                            cfg.nx1 - 1:cfg.nx1 - 1 + cfg.nxaooc].set(
             ocfrac * blocks)

@@ -177,7 +177,7 @@ def make_atmos_only_runner(model: Model, jit: bool = True):
 
 
 def make_coupled_runner(model: Model, jit: bool = True, mesh=None,
-                        spectral_variant=None):
+                        spectral_variant=None, halo_variant=None):
     """Fully coupled ocean-atmosphere stepping (main loop
     q-gcm.F:1220-1491): every atmospheric step runs the atmosphere;
     every nstr-th step first recomputes the forcing (xforc) and takes
@@ -188,14 +188,20 @@ def make_coupled_runner(model: Model, jit: bool = True, mesh=None,
     averaging cadences aligned across host-side chunks.
     `spectral_variant='a2a'` routes both fluids' PV-inversion
     transforms through explicit all_to_all pencil transposes
-    (parallel/spectral.py).
+    (parallel/spectral.py); `halo_variant` routes the ocean vorticity
+    stencils through the explicit shard_map halo path (which also
+    keeps the fused Pallas kernel on mesh runs). With a mesh, xforc
+    runs in its small-collective layout (coupling.make_xforc).
     """
     from ..coupling import make_xforc
     if mesh is not None and spectral_variant == "a2a":
         from ..parallel.spectral import wrap_inversions
         model = wrap_inversions(model, mesh)
-    xforc = make_xforc(model)
-    ostep = make_ocean_step(model, sharded=mesh is not None)
+    xforc = make_xforc(model, mesh=mesh)
+    ostep = make_ocean_step(model, halo=(mesh, halo_variant)
+                            if (mesh is not None and halo_variant)
+                            else None,
+                            sharded=mesh is not None)
     astep = make_atmos_step(model)
     nstr = model.cfg.nstr
     if mesh is not None:

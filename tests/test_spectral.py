@@ -138,11 +138,26 @@ def test_runner_a2a_equivalence(cyclic):
         assert np.abs(a - b).max() < 1e-12 * scale, name
 
 
-def _loop_body_collectives(run, *args):
+def _loop_body(run, *args):
     txt = run.lower(*args).compile().as_text()
-    body = max(re.split(r"\n(?=%|ENTRY)", txt), key=len)
+    return max(re.split(r"\n(?=%|ENTRY)", txt), key=len)
+
+
+def _loop_body_collectives(run, *args):
+    body = _loop_body(run, *args)
     return {op: len(re.findall(" " + op, body))
             for op in ("all-gather", "all-to-all", "collective-permute")}
+
+
+def _gather_bytes(body):
+    """Output bytes of every all-gather instruction in an HLO body."""
+    from qgcm_tpu.parallel.inspect import _shape_bytes
+    out = []
+    for line in body.splitlines():
+        s = line.strip()
+        if re.search(r"=\s+\S*\s*all-gather(-start)?\(", s):
+            out.append(_shape_bytes(s))
+    return out
 
 
 @pytest.mark.parametrize("cyclic", [False, True])
@@ -164,6 +179,96 @@ def test_a2a_step_has_no_loop_body_gathers(cyclic):
     gspmd = make_ocean_only_runner(model, mesh=mesh)
     base = _loop_body_collectives(gspmd, st_sh, f_sh, 20)
     assert base["all-gather"] > 0, base
+
+
+def test_coupled_a2a_no_field_sized_gathers():
+    """The coupled cycle's collective footprint: with the mesh-aware
+    xforc (coupling.make_xforc) every all-gather in the compiled scan
+    body is bounded by the COARSE atmospheric grid -- the ocean/fine
+    grids (ndxr^2 = 16x bigger here, 256-1600x at production) never
+    ride a gather. The round-2 layout gathered ocean-window-sized
+    operands every cycle (the xforc footprint embedding), which caps
+    multi-chip scaling of the flagship coupled configuration."""
+    from qgcm_tpu.config import double_gyre_coupled, OceanConfig
+    from qgcm_tpu.models.atmos import init_atmos_state
+    from qgcm_tpu.models.stepper import make_coupled_runner
+    cfg = double_gyre_coupled(nxta=16, nyta=16, nxaooc=12, nyaooc=12,
+                              ndxr=4, dta=180.0,
+                              ocean=OceanConfig(dxo=20.0e3)).validate()
+    model = build_model(cfg)
+    mesh = make_mesh(jax.devices()[:8], rows_only=True)
+    ocean = shard_tree(init_ocean_state(model, init="rbal"), mesh)
+    atmos = shard_tree(init_atmos_state(model, init="rbal"), mesh)
+    run = make_coupled_runner(model, mesh=mesh, spectral_variant="a2a")
+    body = _loop_body(run, ocean, atmos, 2 * cfg.nstr)
+    sizes = _gather_bytes(body)
+    # bound: the ceil-padded coarse atmos p grid (largest replicated
+    # coarse operand); ocean/fine fields are ndxr^2 bigger
+    pad_y = -(-(cfg.nypa) // 8) * 8
+    atmos_bytes = 8 * pad_y * cfg.nxpa
+    ocean_bytes = 8 * cfg.nypo * cfg.nxpo
+    assert atmos_bytes * 2 < ocean_bytes          # scale separation
+    assert sizes, "expected the small coarse-input gathers"
+    assert max(sizes) <= atmos_bytes, (sorted(sizes), atmos_bytes)
+    counts = {op: len(re.findall(" " + op, body))
+              for op in ("all-to-all",)}
+    assert counts["all-to-all"] > 0
+
+
+def test_box_a2a_realistic_uneven_shape():
+    """Ceil-alignment stress at a NAtl-like aspect: 577x577x3 box
+    p-grid (uneven over every mesh axis) through the a2a runner on a
+    2-D mesh -- the regression mode this machinery was built against
+    (a silently dropped uneven sharding turned the solve entry into a
+    full-grid all-gather at 4801^2). Census + short-trajectory
+    equality vs the single-device run."""
+    cfg = ModelConfig(nxta=96, nyta=96, nxaooc=72, nyaooc=72, ndxr=8,
+                      fnot=9.4e-5, beta=1.75e-11,
+                      ocean=OceanConfig(nlo=3, dxo=5e3),
+                      ocean_only=True, cyclic_ocean=False).validate()
+    assert cfg.nxpo == 577 and cfg.nypo == 577
+    model = build_model(cfg)
+    st = init_ocean_state(model, po=eddy_pressure(cfg))
+    f = ocean_forcing_from_mean(model, *zero_forcing(cfg))
+    mesh = make_mesh(jax.devices()[:8])          # (4, 2): 577 uneven
+    st_sh, f_sh = shard_tree(st, mesh), shard_tree(f, mesh)
+    run = make_ocean_only_runner(model, mesh=mesh,
+                                 spectral_variant="a2a")
+    counts = _loop_body_collectives(run, st_sh, f_sh, 4)
+    assert counts["all-gather"] == 0, counts
+    out = run(st_sh, f_sh, 4)
+    ref = make_ocean_only_runner(model)(st, f, 4)
+    for name in ("po", "qo"):
+        a = np.asarray(getattr(ref, name))
+        b = np.asarray(getattr(out, name))
+        scale = np.abs(a).max() + 1e-30
+        assert np.abs(a - b).max() < 1e-11 * scale, name
+
+
+def test_cyclic_a2a_realistic_uneven_shape():
+    """Channel analogue: 1153x145x3 (southern-ocean aspect, x >> y)
+    on the rows-only mesh; zero all-gathers and trajectory equality."""
+    cfg = ModelConfig(nxta=144, nyta=48, nxaooc=144, nyaooc=18, ndxr=8,
+                      fnot=-1.19e-4, beta=1.31e-11,
+                      ocean=OceanConfig(nlo=3, dxo=5e3),
+                      ocean_only=True, cyclic_ocean=True).validate()
+    assert cfg.nxpo == 1153 and cfg.nypo == 145
+    model = build_model(cfg)
+    st = init_ocean_state(model, po=eddy_pressure(cfg))
+    f = ocean_forcing_from_mean(model, *zero_forcing(cfg))
+    mesh = make_mesh(jax.devices()[:8], rows_only=True)  # 145 uneven
+    st_sh, f_sh = shard_tree(st, mesh), shard_tree(f, mesh)
+    run = make_ocean_only_runner(model, mesh=mesh,
+                                 spectral_variant="a2a")
+    counts = _loop_body_collectives(run, st_sh, f_sh, 4)
+    assert counts["all-gather"] == 0, counts
+    out = run(st_sh, f_sh, 4)
+    ref = make_ocean_only_runner(model)(st, f, 4)
+    for name in ("po", "qo"):
+        a = np.asarray(getattr(ref, name))
+        b = np.asarray(getattr(out, name))
+        scale = np.abs(a).max() + 1e-30
+        assert np.abs(a - b).max() < 1e-11 * scale, name
 
 
 def test_solve_moves_fewer_bytes_than_gspmd():
