@@ -9,7 +9,7 @@ scaling efficiencies. Every assumption is printed. The projection is
 a model, not a measurement -- labelled as such in BENCHMARKS.md.
 
 Model:
-  T_P = T_compute / P + T_a2a(P) [+ T_halo ~ 0: measured overlapped]
+  T_P = T_compute / P + T_comm_unhidden(P)
   a2a bytes leaving each device per solve = 4 transposes x
       field_bytes * (P-1) / P^2          (each repartition moves the
                                           off-diagonal blocks once)
@@ -19,6 +19,25 @@ Model:
   equivalent, conservative: no credit for multi-link injection).
   DCN (multi-host rows, make_hybrid_mesh): 25 GB/s/host assumed.
 
+Transpose/transform PIPELINING (round 3): the pencil solvers issue one
+transpose chain per mode and keep the radix-split levels as separate
+block GEMMs, so the latency-hiding scheduler can run one mode's
+all_to_all under another's MXU stages. This is IMPLEMENTED and
+verified on the TPU lowering: tools/census_overlap.py (v5e:2x4 AOT,
+4801^2 f32) shows 12 async a2a spans per solve with GEMM
+(convolution) fusions of other modes scheduled inside 7 of them (25
+GEMM fusions total; the rest enclose butterfly/glue fusions). The
+model credits the overlap conservatively:
+
+  hidden    <= OVERLAP_FRAC * min(T_a2a, KAPPA * T_gemm / P)
+  unhidden   = max(T_a2a - hidden, T_a2a / N_SPANS)
+
+with OVERLAP_FRAC = 1 (all spans have concurrent work available),
+KAPPA = 0.5 (only half the GEMM time counted as schedulable inside
+spans -- the census found GEMMs in 7/12 spans), and a floor of one
+span's bytes (the drain: the last transpose has nothing left to
+overlap). 'no-overlap' rows show the round-2 model for comparison.
+
 Run: python tools/scaling_model.py
 """
 
@@ -26,36 +45,55 @@ import argparse
 
 ICI_BW = 45e9          # bytes/s per chip, conservative injection rate
 DCN_BW = 25e9          # bytes/s per host
+N_SPANS = 12           # a2a spans per solve (4 per mode x 3 modes)
+KAPPA = 0.5            # fraction of GEMM time creditable inside spans
 
 
-def project(name, n_interior, nm, t1_ms, ps, bw=ICI_BW,
+def _unhidden(t_a2a, t_gemm_per_chip, overlap):
+    if not overlap:
+        return t_a2a
+    hidden = min(t_a2a, KAPPA * t_gemm_per_chip)
+    return max(t_a2a - hidden, t_a2a / N_SPANS)
+
+
+def project(name, n_interior, nm, t1_ms, gemm_ms, ps, bw=ICI_BW,
             solves_per_step=1):
     field_bytes = nm * n_interior * n_interior * 4     # f32
-    print(f"\n{name}: measured single-chip step {t1_ms:.2f} ms, "
-          f"field {field_bytes/1e6:.0f} MB")
-    print(f"  {'P':>4} {'compute':>9} {'a2a':>8} {'T_P':>8} "
-          f"{'efficiency':>10}")
+    print(f"\n{name}: measured single-chip step {t1_ms:.2f} ms "
+          f"(GEMMs {gemm_ms:.1f} ms), field {field_bytes/1e6:.0f} MB")
+    print(f"  {'P':>4} {'compute':>9} {'a2a':>8} {'unhidden':>9} "
+          f"{'T_P':>8} {'eff':>6} {'eff(no-ovl)':>12}")
+    out = {}
     for p in ps:
         bytes_dev = (4 * solves_per_step * field_bytes
                      * (p - 1) / (p * p))
-        t_comm = bytes_dev / bw * 1e3
-        t_p = t1_ms / p + t_comm
+        t_a2a = bytes_dev / bw * 1e3
+        t_un = _unhidden(t_a2a, gemm_ms / p, True)
+        t_p = t1_ms / p + t_un
+        t_p0 = t1_ms / p + t_a2a
         eff = t1_ms / (p * t_p)
-        print(f"  {p:>4} {t1_ms/p:>7.2f}ms {t_comm:>6.2f}ms "
-              f"{t_p:>6.2f}ms {eff:>9.0%}")
+        eff0 = t1_ms / (p * t_p0)
+        out[p] = eff
+        print(f"  {p:>4} {t1_ms/p:>7.2f}ms {t_a2a:>6.2f}ms "
+              f"{t_un:>7.2f}ms {t_p:>6.2f}ms {eff:>5.0%} "
+              f"{eff0:>11.0%}")
+    return out
 
 
-def weak(name, t1_ms, field_bytes_per_chip, ps, bw=ICI_BW):
+def weak(name, t1_ms, gemm_ms, field_bytes_per_chip, ps, bw=ICI_BW):
     """Weak scaling: grid area grows with P (per-chip work constant)."""
     print(f"\n{name} (weak scaling, {field_bytes_per_chip/1e6:.0f} "
           f"MB/chip kept constant):")
-    print(f"  {'P':>4} {'a2a':>8} {'T_P':>8} {'efficiency':>10}")
+    print(f"  {'P':>4} {'a2a':>8} {'unhidden':>9} {'T_P':>8} "
+          f"{'eff':>6} {'eff(no-ovl)':>12}")
     for p in ps:
         bytes_dev = 4 * field_bytes_per_chip * (p - 1) / p
-        t_comm = bytes_dev / bw * 1e3
-        t_p = t1_ms + t_comm
-        print(f"  {p:>4} {t_comm:>6.2f}ms {t_p:>6.2f}ms "
-              f"{t1_ms/t_p:>9.0%}")
+        t_a2a = bytes_dev / bw * 1e3
+        t_un = _unhidden(t_a2a, gemm_ms, True)
+        t_p = t1_ms + t_un
+        print(f"  {p:>4} {t_a2a:>6.2f}ms {t_un:>7.2f}ms "
+              f"{t_p:>6.2f}ms {t1_ms/t_p:>5.0%} "
+              f"{t1_ms/(t1_ms+t_a2a):>11.0%}")
 
 
 def main():
@@ -69,12 +107,14 @@ def main():
                          (3, "realistic: 3 of 4 torus links")):
         bw = (DCN_BW if args.dcn else ICI_BW) * links
         print(f"\n=== {label} ({bw/1e9:.0f} GB/s/chip) ===")
-        # measured single-chip step times (BENCHMARKS.md round-2 table)
-        project("NAtl 4801^2x3 f32 (strong)", 4799, 3, 87.0, ps, bw)
-        project("double-gyre 961^2x3 f32 (strong)", 959, 3, 1.39,
+        # measured single-chip step + GEMM times (BENCHMARKS.md
+        # 'Where the time goes': NAtl solve GEMMs 51.3 of 86.2 ms)
+        project("NAtl 4801^2x3 f32 (strong)", 4799, 3, 86.2, 51.3,
                 ps, bw)
-        weak("NAtl-density per chip", 87.0, 3 * 4799 * 4799 * 4,
-             ps, bw)
+        project("double-gyre 961^2x3 f32 (strong)", 959, 3, 1.31,
+                0.7, ps, bw)
+        weak("NAtl-density per chip", 86.2, 51.3,
+             3 * 4799 * 4799 * 4, ps, bw)
 
     print("""
 Notes:
@@ -84,9 +124,10 @@ Notes:
 - strong-scaling a2a time falls ~1/P (bytes/device ~ (P-1)/P^2), so
   efficiency RISES back toward the compute bound at large P; the dip
   at small P is the first transpose paying the full bisection.
-- the model gives the a2a no credit for pipelining with the per-block
-  MXU transform stages; the tree-form block spectra make that overlap
-  implementable, so these are lower bounds on achievable efficiency.
+- the overlap credit is grounded in the compiled schedule
+  (tools/census_overlap.py): async a2a spans enclose other
+  modes'/blocks' GEMM fusions, KAPPA=0.5 discounts it by half, and
+  one span's bytes (the drain) are never credited.
 """)
 
 
