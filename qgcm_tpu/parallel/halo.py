@@ -235,7 +235,11 @@ def qgstep_halo(pom, po, qo, qom, wekpo, entoc, r_spl, consts, ah2,
     by = ny_pad // my
     if variant == "overlap" and by < 6:
         variant = "deep"
-    if by < 3 or my == 1:
+    if by < 3:
+        # tiny blocks: ghosts would span whole shards; run unsharded
+        # semantics (a my==1 mesh still takes the shard_map path --
+        # its ppermutes have no peers and deliver wall zeros -- so the
+        # kernel-in-shard_map configuration is exercisable on 1 chip)
         variant = "local"
     geom = (ny, nx, nl, cyclic, sponge, dxm2, bcfac, adfac, rfnot,
             tdt, bdrfac, c1spl, beta_y0, beta_dy, fohfac0, fohfac1,

@@ -74,19 +74,31 @@ class Driver:
                  ocavg_days: float = 0.0, nscvoc: int = 4,
                  nscvat: int = 2, profile_dir: str = None,
                  mesh=None, spectral_variant: str = "a2a",
-                 halo_variant: str = None):
+                 halo_variant: str = "auto"):
         """mesh: optional jax.sharding.Mesh ('y','x') for multi-chip
         runs -- the physics chunk carries 2-D spatial shardings and,
         with spectral_variant='a2a' (default), routes the PV-inversion
         transforms through the explicit all_to_all pencil solvers
-        (parallel/spectral.py); halo_variant optionally routes the
-        ocean vorticity stencil through the shard_map ppermute path
-        (parallel/halo.py). I/O and event diagnostics are unchanged
-        (writers gather to host at cadence boundaries only)."""
+        (parallel/spectral.py); halo_variant routes the ocean
+        vorticity stencil through the shard_map ppermute path
+        (parallel/halo.py). The default 'auto' picks the
+        measured-best 'overlap' schedule on rows-decomposed meshes
+        (strictly fewer collectives than GSPMD's auto stencil halos --
+        51 vs 81 per step, BENCHMARKS.md -- and it keeps the fused
+        Pallas kernel, which bare GSPMD cannot partition); 2-D meshes
+        fall back to GSPMD (the halo path decomposes rows only).
+        Pass None to force GSPMD. I/O and event diagnostics are
+        unchanged (writers gather to host at cadence boundaries
+        only)."""
         cfg = model.cfg
         self.model = model
         self.mesh = mesh
         self.spectral_variant = spectral_variant
+        if halo_variant == "auto":
+            rows_only = (mesh is not None
+                         and mesh.shape.get("x", 1) == 1
+                         and mesh.shape.get("y", 1) > 1)
+            halo_variant = "overlap" if rows_only else None
         self.halo_variant = halo_variant
         self.p = params
         self.outdir = outdir
@@ -207,7 +219,8 @@ class Driver:
         astep = make_atmos_step(step_model) if has_at else None
         if has_at:
             from .coupling import make_xforc
-            xforc = make_xforc(model)
+            # mesh-aware layout: no collective above coarse-atmos size
+            xforc = make_xforc(model, mesh=mesh)
 
         def chunk_fn(carry, n_steps, step0):
             # Branchless cycle structure (xforc + ocean substep + nstr

@@ -109,6 +109,43 @@ def test_matlab_dump_complete_manifest(tmp_path):
     assert not missing, missing
 
 
+def test_driver_mesh_default_halo_variant(tmp_path):
+    """Mesh-run default decided by measurement (BENCHMARKS.md): on a
+    rows-decomposed mesh the Driver picks the 'overlap' shard_map halo
+    schedule (51 vs 81 collectives/step vs GSPMD auto, and it keeps
+    the fused Pallas kernel); 2-D meshes fall back to GSPMD; None
+    forces GSPMD."""
+    import jax
+    import numpy as np
+    from jax.sharding import Mesh
+    from qgcm_tpu.config import ModelConfig
+    from qgcm_tpu.model import build_model
+    from qgcm_tpu.run import Driver
+    if len(jax.devices()) < 4:
+        import pytest as _pt
+        _pt.skip("needs multi-device CPU mesh")
+    base = ModelConfig(nxta=24, nyta=24, nxaooc=24, nyaooc=12, ndxr=2,
+                       fnot=5.92e-5, beta=2.08e-11,
+                       ocean_only=True, cyclic_ocean=True)
+    model = build_model(base.validate())
+    p = RunParams(trun=1.0 / 365.0, dta=150.0, nstr=3, valday=0.0,
+                  odiday=0.0, adiday=0.0, dgnday=0.0, prtday=0.0,
+                  resday=0.0, dtavoc=0.0, dtavat=0.0)
+    rows = Mesh(np.asarray(jax.devices()[:4]).reshape(4, 1),
+                ("y", "x"))
+    two_d = Mesh(np.asarray(jax.devices()[:4]).reshape(2, 2),
+                 ("y", "x"))
+    d = Driver(model, p, str(tmp_path / "a"), mean_forcing=None,
+               verbose=False, mesh=rows)
+    assert d.halo_variant == "overlap"
+    d2 = Driver(model, p, str(tmp_path / "b"), mean_forcing=None,
+                verbose=False, mesh=two_d)
+    assert d2.halo_variant is None
+    d3 = Driver(model, p, str(tmp_path / "c"), mean_forcing=None,
+                verbose=False, mesh=rows, halo_variant=None)
+    assert d3.halo_variant is None
+
+
 def test_driver_ocean_only(tmp_path):
     """Short ocean-only driver run: completes, writes the output file
     set, conserves the unforced eddy's layer-1 KE."""
