@@ -111,30 +111,26 @@ class Driver:
         dta, nstr = cfg.dta, cfg.nstr
 
         def steps(days, what=""):
-            """Cadence in atmos steps, rounded to a multiple of nstr:
-            the time loop advances in whole coupling cycles, so every
-            cadence (and hence their gcd, the chunk) must be
-            nstr-aligned or events would fire at misreported times.
-            The reference honours any whole-step cadence exactly
-            (q-gcm.F:640-700), so warn whenever rounding moves a
-            requested event time."""
+            """Cadence in whole atmospheric steps — honoured EXACTLY,
+            like the reference (q-gcm.F:640-700): chunk boundaries may
+            fall mid-coupling-cycle (the chunk program then runs
+            partial-cycle lead/tail segments, see chunk_fn).  Warn only
+            when the requested time is not a whole number of atmos
+            steps at all."""
             if days <= 0:
                 return 0
             n = max(1, round(days * SECDAY / dta))
-            aligned = max(nstr, (n // nstr) * nstr)
-            if abs(n * dta - days * SECDAY) > 1e-6 * dta \
-                    or aligned != n:
+            if abs(n * dta - days * SECDAY) > 1e-6 * dta:
                 import warnings
                 warnings.warn(
                     f"{what or 'cadence'} of {days} days is not a "
-                    f"whole number of {nstr}-step coupling cycles "
-                    f"(dta={dta}s); rounding to {aligned} steps = "
-                    f"{aligned * dta / SECDAY} days",
+                    f"whole number of atmospheric steps "
+                    f"(dta={dta}s); rounding to {n} steps = "
+                    f"{n * dta / SECDAY} days",
                     stacklevel=3)
-            return aligned
+            return n
 
-        self.nsteps = -(-max(1, round(p.trun * SECSYR / dta))
-                        // nstr) * nstr
+        self.nsteps = max(1, round(p.trun * SECSYR / dta))
         self.nvalid = steps(p.valday, "valday")
         self.noutoc = steps(p.odiday, "odiday")
         self.noutat = steps(p.adiday, "adiday")
@@ -160,7 +156,7 @@ class Driver:
             # a second static n_steps value and recompiles the whole
             # chunk program (120-650 s at NAtl scale on the tunnel).
             cap_cycles = 4096
-            cycles = self.nsteps // nstr
+            cycles = max(1, self.nsteps // nstr)
             if cycles <= cap_cycles:
                 self.chunk = self.nsteps
             else:
@@ -180,8 +176,7 @@ class Driver:
                         f"pays one extra compile (minutes at large "
                         f"grid sizes) before it dispatches",
                         stacklevel=3)
-        self.chunk = max(self.chunk, nstr)
-        assert self.chunk % nstr == 0 and self.nsteps % nstr == 0
+        self.chunk = max(self.chunk, 1)
         self.areas_limits = areas_limits
         self.qoc_diag = qoc_diag
         self.nscvoc, self.nscvat = nscvoc, nscvat
@@ -222,58 +217,95 @@ class Driver:
             # mesh-aware layout: no collective above coarse-atmos size
             xforc = make_xforc(model, mesh=mesh)
 
-        def chunk_fn(carry, n_steps, step0):
+        def atmos_seg(at, aacc, afor, n0, length):
+            """`length` (static) atmospheric steps from global atmos
+            step index n0 (dynamic, 0-based)."""
+            def abody(carry2, i):
+                at2, aacc2 = carry2
+                at2, _ = astep(at2, afor)
+                at2 = jax.lax.cond(
+                    (n0 + i) % ATMOS_AVG_PERIOD == 0,
+                    average_atmos_levels, lambda s: s, at2)
+                aacc2 = accumulate_atmos(aacc2, at2, afor, model)
+                return (at2, aacc2), None
+            (at, aacc), _ = jax.lax.scan(
+                abody, (at, aacc), jnp.arange(length))
+            return at, aacc
+
+        def cycle_start(oc, at, ofor, afor, oacc, n):
+            """Coupling-cycle head: forcing + ocean substep (the
+            reference's mod(nt,nstr)==1 block, q-gcm.F:1222-1249),
+            entered only when n % nstr == 0."""
+            if has_at and has_oc:            # coupled
+                ofor, afor, _ = xforc(at.pam, oc.pom, oc.sstm,
+                                      at.astm, at.hmixam)
+                oc, _ = ostep(oc, ofor)
+                oacc = accumulate_ocean(oacc, oc, ofor, model)
+            elif has_oc:                     # ocean only (static ofor)
+                oc, _ = ostep(oc, ofor)
+                oacc = accumulate_ocean(oacc, oc, ofor, model)
+            elif has_at:                     # atmos only
+                _, afor, _ = xforc(at.pam, None, self.sst_mean,
+                                   at.astm, at.hmixam)
+            if has_oc:
+                oc = jax.lax.cond((n // nstr) % OCEAN_AVG_PERIOD == 0,
+                                  average_ocean_levels,
+                                  lambda s: s, oc)
+            return oc, at, ofor, afor, oacc
+
+        def constrained(oc, at):
+            if constrain is not None:
+                if has_oc:
+                    oc = constrain(oc, mesh)
+                if has_at:
+                    at = constrain(at, mesh)
+            return oc, at
+
+        def chunk_fn(carry, n_steps, phase):
             # Branchless cycle structure (xforc + ocean substep + nstr
             # atmos steps): a per-step lax.cond around the coupling
-            # measured ~100x slower on TPU.
-            n_cycles = n_steps // nstr
+            # measured ~100x slower on TPU.  Cadences are honoured at
+            # ANY whole atmospheric step like the reference
+            # (q-gcm.F:640-700): `phase` (static) = position within the
+            # coupling cycle at chunk entry, so a chunk may open with a
+            # partial cycle's trailing atmos steps (lead, the cycle's
+            # forcing/ocean already ran last chunk) and close with a
+            # fresh cycle head + partial atmos tail.  Aligned runs
+            # (phase 0, nstr | n_steps) compile to the pure cycle scan.
+            oc, at, ofor, afor, oacc, aacc, n = carry
+            lead = min(n_steps, (nstr - phase) % nstr)
+            if lead and has_at:
+                at, aacc = atmos_seg(at, aacc, afor, n, lead)
+            if lead:
+                n = n + lead
+            n_cycles, tail = divmod(n_steps - lead, nstr)
 
             def cycle(c_carry, _):
-                oc, at, ofor, afor, oacc, aacc, c = c_carry
-                if constrain is not None:
-                    if has_oc:
-                        oc = constrain(oc, mesh)
-                    if has_at:
-                        at = constrain(at, mesh)
-                if has_at and has_oc:        # coupled
-                    ofor, afor, _ = xforc(at.pam, oc.pom, oc.sstm,
-                                          at.astm, at.hmixam)
-                    oc, _ = ostep(oc, ofor)
-                    oacc = accumulate_ocean(oacc, oc, ofor, model)
-                elif has_oc:                 # ocean only (static ofor)
-                    oc, _ = ostep(oc, ofor)
-                    oacc = accumulate_ocean(oacc, oc, ofor, model)
-                elif has_at:                 # atmos only
-                    _, afor, _ = xforc(at.pam, None, self.sst_mean,
-                                       at.astm, at.hmixam)
-                if has_oc:
-                    oc = jax.lax.cond(c % OCEAN_AVG_PERIOD == 0,
-                                      average_ocean_levels,
-                                      lambda s: s, oc)
+                oc, at, ofor, afor, oacc, aacc, n = c_carry
+                oc, at = constrained(oc, at)
+                oc, at, ofor, afor, oacc = cycle_start(
+                    oc, at, ofor, afor, oacc, n)
                 if has_at:
-                    def abody(carry2, i):
-                        at2, aacc2 = carry2
-                        at2, _ = astep(at2, afor)
-                        at2 = jax.lax.cond(
-                            (c * nstr + i) % ATMOS_AVG_PERIOD == 0,
-                            average_atmos_levels, lambda s: s, at2)
-                        aacc2 = accumulate_atmos(aacc2, at2, afor, model)
-                        return (at2, aacc2), None
-                    (at, aacc), _ = jax.lax.scan(
-                        abody, (at, aacc), jnp.arange(nstr))
-                return (oc, at, ofor, afor, oacc, aacc, c + 1), None
+                    at, aacc = atmos_seg(at, aacc, afor, n, nstr)
+                return (oc, at, ofor, afor, oacc, aacc, n + nstr), None
 
-            oc, at, ofor, afor, oacc, aacc, n = carry
-            c0 = n // nstr
-            (out, _) = jax.lax.scan(
-                cycle, (oc, at, ofor, afor, oacc, aacc, c0), None,
-                length=n_cycles)
-            oc, at, ofor, afor, oacc, aacc, c = out
-            return (oc, at, ofor, afor, oacc, aacc, c * nstr)
+            if n_cycles:
+                (out, _) = jax.lax.scan(
+                    cycle, (oc, at, ofor, afor, oacc, aacc, n), None,
+                    length=n_cycles)
+                oc, at, ofor, afor, oacc, aacc, n = out
+            if tail:
+                oc, at = constrained(oc, at)
+                oc, at, ofor, afor, oacc = cycle_start(
+                    oc, at, ofor, afor, oacc, n)
+                if has_at:
+                    at, aacc = atmos_seg(at, aacc, afor, n, tail)
+                n = n + tail
+            return (oc, at, ofor, afor, oacc, aacc, n)
 
         from .parallel.mesh import mesh_jit
         self._chunk_fn = mesh_jit(chunk_fn, mesh,
-                                  static_argnames=("n_steps",))
+                                  static_argnames=("n_steps", "phase"))
         self._xforc = jax.jit(xforc) if has_at else None
 
         # Event diagnostics run on-device in ONE dispatch each: un-jitted
@@ -456,26 +488,33 @@ class Driver:
         prof_steps = 0
         i_chunk = 0
         t0 = time.time()
+        nstr = cfg.nstr
         while n_done < self.nsteps:
-            n = min(self.chunk, self.nsteps - n_done)
+            # chunk boundaries on the ABSOLUTE step grid: cadences key
+            # on the absolute step index like the reference's
+            # mod(nt, nout*) tests (q-gcm.F:1442-1489), so a resumed
+            # run keeps firing events at the same wall-clock times.
+            abs_n = step0 + n_done
+            n = min(self.chunk - abs_n % self.chunk,
+                    self.nsteps - n_done)
             if i_chunk == prof_chunk:
                 from jax import profiler as _jprof
                 with _jprof.trace(self.profile_dir):
-                    carry = self._chunk_fn(carry, n, None)
+                    carry = self._chunk_fn(carry, n, abs_n % nstr)
                     jax.block_until_ready(carry)
                     # a value fetch: a remote backend's
                     # block_until_ready can return early
                     float(jnp.ravel(carry[-1])[0])
                 prof_steps = n
             else:
-                carry = self._chunk_fn(carry, n, None)
+                carry = self._chunk_fn(carry, n, abs_n % nstr)
             i_chunk += 1
             n_done += n
             oc, at, ofor, afor, oacc, aacc, _ = carry
             tyrs = tini + n_done * cfg.dta / SECSYR
 
             def due(cad):
-                return cad and n_done % cad == 0
+                return cad and (step0 + n_done) % cad == 0
 
             if due(self.nvalid):
                 rep = self._valids(oc if self.has_oc else None,

@@ -421,35 +421,46 @@ def test_driver_atmos_only(tmp_path):
         assert (tmp_path / "out" / f).exists(), f
 
 
-def test_driver_chunk_nstr_alignment(tmp_path):
-    """Regression: cadences whose step counts are not nstr multiples
-    (e.g. valday -> 4 steps with nstr=3) must not cause the cycle-
-    structured chunk to silently integrate fewer steps than reported."""
-    from qgcm_tpu.config import ModelConfig, OceanConfig
+def test_driver_exact_misaligned_cadence(tmp_path):
+    """Cadences are honoured at ANY whole atmospheric step like the
+    reference (q-gcm.F:640-700): a valday of 4 steps with nstr=3 keeps
+    chunk=4 -- chunk boundaries fall MID coupling cycle -- and the
+    trajectory equals the aligned single-chunk run (the chunk
+    program's partial-cycle lead/tail segments are exercised at every
+    phase 1, 2, 0)."""
+    from qgcm_tpu.config import double_gyre_coupled, OceanConfig
     from qgcm_tpu.run import Driver
     from qgcm_tpu.model import build_model
-    from qgcm_tpu.generators import zero_forcing
 
-    base = ModelConfig(nxta=24, nyta=24, nxaooc=24, nyaooc=12, ndxr=2,
-                       fnot=5.92e-5, beta=2.08e-11,
-                       ocean_only=True, cyclic_ocean=True)
-    # dta=300, nstr=3; valday=1/72 day = 1200 s = 4 steps (not a
-    # multiple of 3) -> must round to 3
-    p = RunParams(trun=36.0 * 300.0 / 86400.0 / 365.0, dta=300.0,
-                  nstr=3, dxo=20.0e3, delek=0.0,
-                  valday=1.0 / 72.0, odiday=0.0, adiday=0.0,
+    base = double_gyre_coupled(nxta=24, nyta=12, nxaooc=8, nyaooc=8,
+                               ndxr=4, ocean=OceanConfig(dxo=20.0e3))
+    model = build_model(base)
+    # dta=180 s, nstr=3; trun = 36 atmos steps; valday = 720 s = 4
+    # steps (not a multiple of nstr)
+    trun = 36 * 180.0 / 86400.0 / 365.0
+    p = RunParams(trun=trun, dta=180.0, nstr=3, dxo=20.0e3,
+                  valday=720.0 / 86400.0, odiday=0.0, adiday=0.0,
                   dgnday=0.0, prtday=0.0, resday=0.0, dtavoc=0.0,
-                  dtavat=0.0, ah2oc=(0.0, 0.0), ah4oc=(0.0, 0.0),
-                  tabsoc=(287.0, 282.0), hoc=(800.0, 3.2e20),
-                  gpoc=(0.01,), name="zero")
-    cfg = params_to_config(p, base)
-    model = build_model(cfg)
-    drv = Driver(model, p, str(tmp_path / "out"),
-                 mean_forcing=zero_forcing(cfg), verbose=False)
-    assert drv.chunk % cfg.nstr == 0
-    assert drv.nsteps % cfg.nstr == 0
+                  dtavat=0.0, name="rbal")
+    drv = Driver(model, p, str(tmp_path / "a"), verbose=False)
+    assert drv.nvalid == 4 and drv.chunk == 4 and drv.nsteps == 36
     res = drv.run()
-    assert res.steps_done == drv.nsteps == 36
+    assert not res.aborted and res.steps_done == 36
+
+    # aligned control: same run in whole-cycle chunks
+    p2 = RunParams(trun=trun, dta=180.0, nstr=3, dxo=20.0e3,
+                   valday=1080.0 / 86400.0, odiday=0.0, adiday=0.0,
+                   dgnday=0.0, prtday=0.0, resday=0.0, dtavoc=0.0,
+                   dtavat=0.0, name="rbal")
+    drv2 = Driver(model, p2, str(tmp_path / "b"), verbose=False)
+    assert drv2.chunk == 6
+    res2 = drv2.run()
+    for a, b in ((res.ocean.po, res2.ocean.po),
+                 (res.ocean.sst, res2.ocean.sst),
+                 (res.atmos.pa, res2.atmos.pa),
+                 (res.atmos.ast, res2.atmos.ast)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-12, atol=1e-14)
 
 
 def test_cadence_rounding_warns(tmp_path):
