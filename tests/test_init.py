@@ -165,3 +165,27 @@ def test_eigenmode_golden_values():
         # biorthogonality: cl2m is the exact inverse of cm2l
         np.testing.assert_allclose(m.cl2m @ m.cm2l, np.eye(nl),
                                    atol=1e-12)
+
+
+def test_radiation_manifest():
+    """docs/radiation_coefficients.txt pins the init-time radiation
+    coefficients for all four example configurations -- the analogue
+    of the reference's high-precision porting-check printout
+    (radsubs.f:241-502, WhatsNew.txt:103-106).  Regenerating the
+    manifest must reproduce the checked-in file line for line; a
+    physics change that legitimately moves these values must
+    regenerate it (python tools/radiation_manifest.py) in the same
+    commit and say why."""
+    import os
+    import sys
+    root = os.path.join(os.path.dirname(__file__), "..")
+    sys.path.insert(0, os.path.join(root, "tools"))
+    try:
+        import radiation_manifest as rm
+    finally:
+        sys.path.pop(0)
+    fresh = rm.manifest_lines(root)
+    with open(os.path.join(root, "docs",
+                           "radiation_coefficients.txt")) as f:
+        pinned = f.read().splitlines()
+    assert fresh == pinned
