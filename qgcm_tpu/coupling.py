@@ -493,9 +493,11 @@ def make_xforc(model, mesh=None):
         from the replicated coarse rows (bicubic_refine_window)
         instead of slicing the sharded fine grid at the footprint
         offset, which GSPMD can only lower as a full-field all-gather.
-    Exception: tau_udiff must scatter the ocean velocity difference
-    INTO the fine grid (it feeds wekpa/the atmospheric stress), which
-    keeps one ocean-window-sized gather per cycle on mesh runs.
+    tau_udiff scatters the ocean velocity difference INTO the fine
+    grid (it feeds wekpa/the atmospheric stress); expressed as a
+    static-offset jnp.pad, which GSPMD lowers point-to-point
+    (collective-permutes of boundary blocks) rather than the 4
+    ocean-sized all-gathers the .at[].add form costs.
     """
     cfg: ModelConfig = model.cfg
     g: Grids = model.grids
@@ -606,31 +608,45 @@ def make_xforc(model, mesh=None):
         # --- subtract ocean geostrophic velocity (tau_udiff) ---
         u1oc = v1oc = None
         if cfg.tau_udiff and pom is not None:
+            # fused where-form over full-shape shifts (the del2_bc
+            # idiom): boundary-row/column CONCATS and .at[].set over a
+            # mesh-sharded po1 lower as ocean-sized all-gathers; the
+            # edge-padded shifts + masks keep every collective a
+            # boundary-row halo exchange
+            from .ops.stencils import _row_mask, _col_mask
             po1 = pom[0]
-            u1oc = -hxofac * (po1[2:, :] - po1[:-2, :])
-            u1oc = jnp.concatenate([
-                (-zbfcoc * (po1[1:2, :] - po1[0:1, :])),
-                u1oc,
-                (-zbfcoc * (po1[-1:, :] - po1[-2:-1, :]))], axis=0)
+            ppy = jnp.pad(po1, ((1, 1), (0, 0)), mode="edge")
+            ps, pn = ppy[:-2, :], ppy[2:, :]
+            south, north = _row_mask(po1, 0), _row_mask(po1, -1)
+            u1oc = jnp.where(
+                south, -zbfcoc * (pn - po1),
+                jnp.where(north, -zbfcoc * (po1 - ps),
+                          -hxofac * (pn - ps)))
             if cfg.cyclic_ocean:
                 poe = jnp.concatenate([po1[:, 1:], po1[:, 1:2]], axis=1)
                 pow_ = jnp.concatenate([po1[:, -2:-1], po1[:, :-1]],
                                        axis=1)
                 v1oc = hxofac * (poe - pow_)
             else:
-                v1oc = hxofac * jnp.pad(po1[:, 2:] - po1[:, :-2],
-                                        ((0, 0), (1, 1)))
-                v1oc = v1oc.at[:, 0].set(
-                    zbfcoc * (po1[:, 1] - po1[:, 0]))
-                v1oc = v1oc.at[:, -1].set(
-                    zbfcoc * (po1[:, -1] - po1[:, -2]))
-                u1oc = u1oc.at[:, 0].set(0.0).at[:, -1].set(0.0)
-            # zonal walls: v1oc unchanged there (p const along wall)
-            v1oc = v1oc.at[0, :].set(0.0).at[-1, :].set(0.0)
-            u1ator = u1ator.at[joc0:joc0 + nypo,
-                               ioc0:ioc0 + nxpo].add(-u1oc)
-            v1ator = v1ator.at[joc0:joc0 + nypo,
-                               ioc0:ioc0 + nxpo].add(-v1oc)
+                ppx = jnp.pad(po1, ((0, 0), (1, 1)), mode="edge")
+                pw, pe = ppx[:, :-2], ppx[:, 2:]
+                west, east = _col_mask(po1, 0), _col_mask(po1, -1)
+                v1oc = jnp.where(
+                    west, zbfcoc * (pe - po1),
+                    jnp.where(east, zbfcoc * (po1 - pw),
+                              hxofac * (pe - pw)))
+                u1oc = jnp.where(west | east, 0.0, u1oc)
+            # zonal walls: v1oc = 0 there (p const along wall)
+            v1oc = jnp.where(south | north, 0.0, v1oc)
+            # footprint embedding as a PAD, not .at[].add: GSPMD
+            # lowers the static-offset pad point-to-point (6
+            # collective-permutes of boundary blocks on the CPU-mesh
+            # census) where the dynamic-update-slice form all-gathers
+            # the ocean-sized operand 4x per cycle
+            widths = ((joc0, cfg.nypaor - joc0 - nypo),
+                      (ioc0, cfg.nxpaor - ioc0 - nxpo))
+            u1ator = u1ator - jnp.pad(u1oc, widths)
+            v1ator = v1ator - jnp.pad(v1oc, widths)
 
         # --- quadratic-drag windstress on the fine grid (7.1-7.4) ---
         tauxaor, tauyaor = _quad_drag(u1ator, v1ator, cdrfac, qu2fac)

@@ -181,19 +181,23 @@ def test_a2a_step_has_no_loop_body_gathers(cyclic):
     assert base["all-gather"] > 0, base
 
 
-def test_coupled_a2a_no_field_sized_gathers():
+@pytest.mark.parametrize("tau_udiff", [False, True])
+def test_coupled_a2a_no_field_sized_gathers(tau_udiff):
     """The coupled cycle's collective footprint: with the mesh-aware
     xforc (coupling.make_xforc) every all-gather in the compiled scan
     body is bounded by the COARSE atmospheric grid -- the ocean/fine
     grids (ndxr^2 = 16x bigger here, 256-1600x at production) never
     ride a gather. The round-2 layout gathered ocean-window-sized
     operands every cycle (the xforc footprint embedding), which caps
-    multi-chip scaling of the flagship coupled configuration."""
+    multi-chip scaling of the flagship coupled configuration.
+    tau_udiff=True additionally pins the ocean-relative windstress
+    scatter (a static-offset pad, point-to-point under GSPMD -- the
+    .at[].add form gathered the ocean-sized difference 4x/cycle)."""
     from qgcm_tpu.config import double_gyre_coupled, OceanConfig
     from qgcm_tpu.models.atmos import init_atmos_state
     from qgcm_tpu.models.stepper import make_coupled_runner
     cfg = double_gyre_coupled(nxta=16, nyta=16, nxaooc=12, nyaooc=12,
-                              ndxr=4, dta=180.0,
+                              ndxr=4, dta=180.0, tau_udiff=tau_udiff,
                               ocean=OceanConfig(dxo=20.0e3)).validate()
     model = build_model(cfg)
     mesh = make_mesh(jax.devices()[:8], rows_only=True)
