@@ -563,3 +563,51 @@ def test_no_cadence_runs_one_big_chunk(tmp_path):
     assert drv.chunk == drv.nsteps == 60
     res = drv.run()
     assert res.steps_done == 60 and not res.aborted
+
+
+def test_driver_midcycle_restart_resume(tmp_path):
+    """A restart cadence that is not a multiple of nstr writes
+    restart.nc MID coupling cycle; resuming from it must (a) derive
+    the absolute step index from the stored time, (b) enter the open
+    cycle at the right phase (the first chunk's lead segment), and
+    (c) keep firing events on the ABSOLUTE cadence grid, like the
+    reference's mod(nt, nout*) tests on nt = nsteps0+1.. ."""
+    from qgcm_tpu.config import double_gyre_coupled, OceanConfig
+    from qgcm_tpu.run import Driver
+    from qgcm_tpu.model import build_model
+
+    base = double_gyre_coupled(nxta=24, nyta=12, nxaooc=8, nyaooc=8,
+                               ndxr=4, ocean=OceanConfig(dxo=20.0e3))
+    model = build_model(base)
+    day = 86400.0
+    # dta=180, nstr=3: run 10 steps, restart cadence every 10 steps
+    # (10 % 3 != 0 -> the dump lands mid-cycle at phase 1)
+    p = RunParams(trun=10 * 180.0 / day / 365.0, dta=180.0, nstr=3,
+                  dxo=20.0e3, valday=0.0, odiday=0.0, adiday=0.0,
+                  dgnday=0.0, prtday=0.0, resday=10 * 180.0 / day,
+                  dtavoc=0.0, dtavat=0.0, name="rbal")
+    drv = Driver(model, p, str(tmp_path / "a"), verbose=False)
+    assert drv.nrestart == 10
+    res = drv.run()
+    assert res.steps_done == 10
+    rst = tmp_path / "a" / "restart.nc"
+    assert rst.exists()
+
+    # resume for 8 more steps: step0=10 -> phase 1; the monitor
+    # cadence of 6 steps must fire at ABSOLUTE steps 12 and 18, i.e.
+    # 2 records (not the 1 a relative grid would give for 8 steps)
+    p2 = RunParams(trun=8 * 180.0 / day / 365.0, dta=180.0, nstr=3,
+                   dxo=20.0e3, valday=0.0, odiday=0.0, adiday=0.0,
+                   dgnday=6 * 180.0 / day, prtday=0.0, resday=0.0,
+                   dtavoc=0.0, dtavat=0.0, name=str(rst))
+    drv2 = Driver(model, p2, str(tmp_path / "b"), verbose=False)
+    res2 = drv2.run()
+    assert res2.steps_done == 8
+    assert abs(res2.tyrs - 18 * 180.0 / (86400.0 * 365.0)) < 1e-12
+    from scipy.io import netcdf_file
+    with netcdf_file(str(tmp_path / "b" / "monit.nc"), "r",
+                     mmap=False) as f:
+        t = f.variables["time"][:].copy()
+    assert len(t) == 2
+    np.testing.assert_allclose(
+        t * 365.0 * 86400.0 / 180.0, [12.0, 18.0], atol=1e-6)
