@@ -128,7 +128,9 @@ def cmd_run(args):
     res = run_case(params, cfg, outdir, sst_mean=sst_mean,
                    mean_forcing=mean_forcing, verbose=not args.quiet,
                    qoc_diag=args.qoc_diag, ocavg_days=args.ocavg_days,
-                   profile_dir=args.profile, mesh=mesh)
+                   profile_dir=args.profile, mesh=mesh,
+                   cadence_rounding="exact" if args.exact_cadences
+                   else "cycles")
     print(f"done: {res.steps_done} steps, t={res.tyrs:.4f} years"
           + (" [ABORTED ON VALIDITY FAILURE]" if res.aborted else ""))
     return 1 if res.aborted else 0
@@ -266,6 +268,11 @@ def main(argv=None):
                          "'rows' (y-only decomposition), 'hybrid' "
                          "(multi-host: hosts on y, local chips on x), "
                          "or an explicit NYxNX shape")
+    pr.add_argument("--exact-cadences", action="store_true",
+                    dest="exact_cadences",
+                    help="honour cadences at any whole atmospheric "
+                    "step instead of the reference's rounding to "
+                    "whole coupling cycles (q-gcm.F:656-698)")
     pr.add_argument("--profile", metavar="DIR", default=None,
                     help="trace a steady-state chunk with jax.profiler"
                          " into DIR and print a per-kernel device-time"

@@ -23,10 +23,20 @@ def _layer_depths(h):
 
 
 def save_restart(path: str, model, ocean: OceanState, atmos: AtmosState,
-                 tyrs: float):
+                 tyrs: float, ofor=None, afor=None):
     """Write restart.nc. Both states must be provided; in single-fluid
     modes pass the untouched init-time state for the inactive fluid
-    (the reference likewise dumps the full state vector)."""
+    (the reference likewise dumps the full state vector).
+
+    ofor/afor: optional Ocean/AtmosForcing to embed.  The reference
+    schema has no forcing variables -- its restart dumps are always
+    coupling-cycle-aligned (every cadence is a whole number of cycles,
+    q-gcm.F:656-698), so xforc at resume reproduces the forcing
+    exactly.  This framework's exact-cadence extension can dump MID
+    cycle, where the leapfrog m-slots have advanced past the cycle
+    head and a recompute would silently diverge; the driver therefore
+    embeds the open cycle's forcing here and the loader hands it back
+    (load_restart_forcing) for a trajectory-faithful resume."""
     cfg = model.cfg
     g = model.grids
     w = NcWriter(path)
@@ -68,6 +78,36 @@ def save_restart(path: str, model, ocean: OceanState, atmos: AtmosState,
           data=atmos.pa)
     w.var("pam", "d", ("za", "ypa", "xpa"), units="m^2/s^2",
           data=atmos.pam)
+    if ofor is not None:
+        w.var("tauxo", "d", ("ypo", "xpo"), units="m^2/s^2",
+              data=ofor.tauxo)
+        w.var("tauyo", "d", ("ypo", "xpo"), units="m^2/s^2",
+              data=ofor.tauyo)
+        w.var("fnetoc", "d", ("yto", "xto"), units="W/m^2",
+              data=ofor.fnetoc)
+        w.var("wekto", "d", ("yto", "xto"), units="m/s",
+              data=ofor.wekto)
+        w.var("wekpo", "d", ("ypo", "xpo"), units="m/s",
+              data=ofor.wekpo)
+        w.var("txisoc", "d", ("time",), data=[float(ofor.txisoc)])
+        w.var("txinoc", "d", ("time",), data=[float(ofor.txinoc)])
+    if afor is not None:
+        w.var("tauxa", "d", ("ypa", "xpa"), units="m^2/s^2",
+              data=afor.tauxa)
+        w.var("tauya", "d", ("ypa", "xpa"), units="m^2/s^2",
+              data=afor.tauya)
+        w.var("fnetat", "d", ("yta", "xta"), units="W/m^2",
+              data=afor.fnetat)
+        w.var("wekta", "d", ("yta", "xta"), units="m/s",
+              data=afor.wekta)
+        w.var("wekpa", "d", ("ypa", "xpa"), units="m/s",
+              data=afor.wekpa)
+        w.var("uekat", "d", ("yta", "xpa"), units="m/s",
+              data=afor.uekat)
+        w.var("vekat", "d", ("ypa", "xta"), units="m/s",
+              data=afor.vekat)
+        w.var("txisat", "d", ("time",), data=[float(afor.txisat)])
+        w.var("txinat", "d", ("time",), data=[float(afor.txinat)])
     w.close()
 
 
@@ -86,3 +126,42 @@ def load_restart(path: str, model):
                              ast=d["ast"], astm=d["astm"],
                              hmixa=d["hmixa"], hmixam=d["hmixam"])
     return ocean, atmos, float(np.ravel(d["time"])[0])
+
+
+def load_restart_forcing(path: str, model):
+    """Read the optional embedded forcing of a mid-cycle restart dump
+    (see save_restart) -> (OceanForcing | None, AtmosForcing | None).
+    Cycle-aligned dumps (the reference's only kind) carry none and the
+    driver recomputes forcing with xforc, as the reference does at
+    q-gcm.F:870."""
+    import jax.numpy as jnp
+    from scipy.io import netcdf_file
+    from ..state import OceanForcing, AtmosForcing
+
+    dtype = jnp.dtype(model.cfg.dtype)
+    with netcdf_file(path, "r", mmap=False) as f:
+        names = set(f.variables)
+
+        def arr(n):
+            return jnp.asarray(
+                np.asarray(f.variables[n][:], np.float64), dtype)
+
+        def scl(n):
+            return jnp.asarray(
+                float(np.ravel(f.variables[n][:])[0]), dtype)
+
+        ofor = afor = None
+        if "tauxo" in names:
+            ofor = OceanForcing(
+                tauxo=arr("tauxo"), tauyo=arr("tauyo"),
+                fnetoc=arr("fnetoc"), wekto=arr("wekto"),
+                wekpo=arr("wekpo"), txisoc=scl("txisoc"),
+                txinoc=scl("txinoc"))
+        if "tauxa" in names:
+            afor = AtmosForcing(
+                tauxa=arr("tauxa"), tauya=arr("tauya"),
+                fnetat=arr("fnetat"), wekta=arr("wekta"),
+                wekpa=arr("wekpa"), uekat=arr("uekat"),
+                vekat=arr("vekat"), txisat=scl("txisat"),
+                txinat=scl("txinat"))
+    return ofor, afor

@@ -8,12 +8,20 @@ accumulation stay on device; the host wakes only at I/O-cadence
 boundaries to run the validity scan, write snapshots/monitoring/
 restart files, and print progress.
 
-Cadences (converted from days to steps as in q-gcm.F:640-700):
+Cadences (converted from days to steps as in q-gcm.F:656-698, which
+rounds every interval to a whole number of coupling cycles -- "Do all
+dumps when atmos. and ocean are in step"; cadence_rounding="exact"
+keeps this framework's extension of honouring any whole atmospheric
+step instead):
   valday -> validity scan      odiday/adiday -> snapshot dumps
   dgnday -> monitoring         prtday -> stdout sample
   resday -> restart dump (only written if the state passes valids --
             last-good-checkpoint semantics, q-gcm.F:1413-1416)
   dtavoc/dtavat -> running means written to avges.nc
+Events fire on the RELATIVE step count since run start, matching the
+reference's mod(ntdone, nout*) tests with ntdone = nt - nsteps0
+(q-gcm.F:1271-1272,1277): a resumed run restarts every cadence clock
+at the resume point.
 """
 
 from __future__ import annotations
@@ -45,8 +53,9 @@ from .diags.covaria import (zero_cov, cov_size, accumulate_cov,
                             write_covar)
 from .diags.areas import build_area_boxes, area_averages, AreasWriter
 from .diags.qocdiag import qocdiag_terms, QocdiagWriter
-from .io import (save_restart, load_restart, OceanSnapshots,
-                 AtmosSnapshots, read_mean_forcing, read_mean_sst)
+from .io import (save_restart, load_restart, load_restart_forcing,
+                 OceanSnapshots, AtmosSnapshots, read_mean_forcing,
+                 read_mean_sst)
 
 
 def _gcd_all(vals):
@@ -74,7 +83,8 @@ class Driver:
                  ocavg_days: float = 0.0, nscvoc: int = 4,
                  nscvat: int = 2, profile_dir: str = None,
                  mesh=None, spectral_variant: str = "a2a",
-                 halo_variant: str = "auto"):
+                 halo_variant: str = "auto",
+                 cadence_rounding: str = "cycles"):
         """mesh: optional jax.sharding.Mesh ('y','x') for multi-chip
         runs -- the physics chunk carries 2-D spatial shardings and,
         with spectral_variant='a2a' (default), routes the PV-inversion
@@ -89,7 +99,15 @@ class Driver:
         fall back to GSPMD (the halo path decomposes rows only).
         Pass None to force GSPMD. I/O and event diagnostics are
         unchanged (writers gather to host at cadence boundaries
-        only)."""
+        only).
+
+        cadence_rounding: "cycles" (default) rounds every cadence to a
+        whole number of coupling cycles exactly like the reference
+        (nint(days*secday/dto)*nstr, q-gcm.F:656-698 -- "Do all dumps
+        when atmos. and ocean are in step"); "exact" honours any whole
+        atmospheric step, a deliberate extension over the reference
+        (chunk boundaries then fall mid-cycle and the chunk program
+        runs partial-cycle lead/tail segments)."""
         cfg = model.cfg
         self.model = model
         self.mesh = mesh
@@ -109,24 +127,38 @@ class Driver:
         self.has_at = not cfg.ocean_only
         p = params
         dta, nstr = cfg.dta, cfg.nstr
+        if cadence_rounding not in ("cycles", "exact"):
+            raise ValueError("cadence_rounding must be 'cycles' or "
+                             f"'exact', got {cadence_rounding!r}")
+        self.cadence_rounding = cadence_rounding
 
         def steps(days, what=""):
-            """Cadence in whole atmospheric steps — honoured EXACTLY,
-            like the reference (q-gcm.F:640-700): chunk boundaries may
-            fall mid-coupling-cycle (the chunk program then runs
-            partial-cycle lead/tail segments, see chunk_fn).  Warn only
-            when the requested time is not a whole number of atmos
-            steps at all."""
+            """Cadence in atmospheric steps.  Default ("cycles"): the
+            reference's rounding to whole coupling cycles,
+            nint(days*secday/dto)*nstr (q-gcm.F:656-698, "Do all dumps
+            when atmos. and ocean are in step").  "exact": any whole
+            atmospheric step is honoured (this framework's extension;
+            chunk boundaries may fall mid-coupling-cycle and the chunk
+            program runs partial-cycle lead/tail segments, see
+            chunk_fn).  Warn whenever the requested time is rounded."""
             if days <= 0:
                 return 0
-            n = max(1, round(days * SECDAY / dta))
+            if cadence_rounding == "cycles":
+                n = max(1, round(days * SECDAY / (nstr * dta))) * nstr
+            else:
+                n = max(1, round(days * SECDAY / dta))
             if abs(n * dta - days * SECDAY) > 1e-6 * dta:
                 import warnings
+                unit = ("coupling cycles (dto=nstr*dta="
+                        f"{nstr * dta}s, q-gcm.F:656-698 rounding; "
+                        "pass cadence_rounding='exact' for whole-"
+                        "atmos-step cadences)"
+                        if cadence_rounding == "cycles" else
+                        f"atmospheric steps (dta={dta}s)")
                 warnings.warn(
                     f"{what or 'cadence'} of {days} days is not a "
-                    f"whole number of atmospheric steps "
-                    f"(dta={dta}s); rounding to {n} steps = "
-                    f"{n * dta / SECDAY} days",
+                    f"whole number of {unit}; rounding to {n} steps "
+                    f"= {n * dta / SECDAY} days",
                     stacklevel=3)
             return n
 
@@ -177,6 +209,19 @@ class Driver:
                         f"grid sizes) before it dispatches",
                         stacklevel=3)
         self.chunk = max(self.chunk, 1)
+        if self.chunk % nstr:
+            # only reachable with cadence_rounding="exact": chunk
+            # boundaries rotate through the coupling-cycle phases, and
+            # every distinct (n_steps, phase) pair is its own compiled
+            # chunk program
+            import warnings
+            warnings.warn(
+                f"cadence chunk of {self.chunk} steps is not a whole "
+                f"number of coupling cycles (nstr={nstr}): chunk "
+                f"boundaries rotate through up to {nstr} in-cycle "
+                f"phases and each compiles its own chunk program "
+                f"(minutes each at large grid sizes)",
+                stacklevel=2)
         self.areas_limits = areas_limits
         self.qoc_diag = qoc_diag
         self.nscvoc, self.nscvat = nscvoc, nscvat
@@ -360,16 +405,33 @@ class Driver:
         model, p = self.model, self.p
         cfg = model.cfg
         tini = 0.0
+        self._stored_forcing = (None, None)
         with jax.default_device(self._host_device()):
             if p.name in ("zero", "rbal"):
                 oc = init_ocean_state(model, init=p.name)
                 at = init_atmos_state(model, init=p.name)
             else:
                 oc, at, tini = load_restart(p.name, model)
+                # mid-cycle dumps embed the open cycle's forcing;
+                # using it (instead of recomputing from the advanced
+                # m-slots) keeps the resumed trajectory faithful
+                self._stored_forcing = load_restart_forcing(p.name,
+                                                            model)
         if cfg.atmos_only and self.sst_mean is None:
             raise ValueError("atmos_only run needs a mean SST field "
                              "(sst_mean= or avges.nc)")
         return oc, at, tini
+
+    def _midcycle_forcing(self, n_done, ofor, afor):
+        """kwargs for save_restart: embed the open cycle's forcing when
+        the dump lands mid coupling cycle (exact-cadence extension; a
+        cycle-aligned dump stays byte-compatible with the reference
+        restart schema and the resume recomputes forcing via xforc,
+        q-gcm.F:870)."""
+        if not self.has_at or (self._step0 + n_done) % \
+                self.model.cfg.nstr == 0:
+            return {}
+        return {"ofor": ofor if self.has_oc else None, "afor": afor}
 
     def _initial_forcing(self, oc, at):
         with jax.default_device(self._host_device()):
@@ -378,18 +440,18 @@ class Driver:
     def _initial_forcing_impl(self, oc, at):
         cfg = self.model.cfg
         dtype = jnp.dtype(cfg.dtype)
-        if self.has_at:
+        sofor, safor = getattr(self, "_stored_forcing", (None, None))
+        if self.has_at and safor is not None and \
+                (sofor is not None or not self.has_oc):
+            # resume from a mid-cycle dump: the open cycle's remaining
+            # lead atmos steps must run under the SAME forcing the
+            # uninterrupted run used (computed at the cycle head)
+            ofor, afor = sofor, safor
+        elif self.has_at:
             ofor, afor, _ = self._xforc(
                 at.pam, oc.pom if self.has_oc else None,
                 oc.sstm if self.has_oc else self.sst_mean,
                 at.astm, at.hmixam)
-            if ofor is None:
-                ofor = jax.tree_util.tree_map(
-                    jnp.zeros_like,
-                    ocean_forcing_from_mean(
-                        self.model, np.zeros((cfg.nypo, cfg.nxpo)),
-                        np.zeros((cfg.nypo, cfg.nxpo)),
-                        np.zeros((cfg.nyto, cfg.nxto))))
         else:
             if self.mean_forcing is None:
                 raise ValueError("ocean_only run needs mean forcing "
@@ -397,6 +459,14 @@ class Driver:
             ofor = ocean_forcing_from_mean(self.model,
                                            *self.mean_forcing)
             afor = None
+        if ofor is None:
+            # atmos_only: placeholder zeros keep the carry structure
+            ofor = jax.tree_util.tree_map(
+                jnp.zeros_like,
+                ocean_forcing_from_mean(
+                    self.model, np.zeros((cfg.nypo, cfg.nxpo)),
+                    np.zeros((cfg.nypo, cfg.nxpo)),
+                    np.zeros((cfg.nyto, cfg.nxto))))
         if afor is None:
             # placeholder pytree so the scan carry is fixed-structure
             z = jnp.zeros((), dtype)
@@ -419,6 +489,7 @@ class Driver:
         oc, at, tini = self._initial_state()
         ofor, afor = self._initial_forcing(oc, at)
         step0 = round(tini * SECSYR / cfg.dta)
+        self._step0 = step0
 
         write_matlab_params(f"{out}/input_parameters.m", p, cfg, model,
                             tini=tini, nscvoc=self.nscvoc,
@@ -490,31 +561,34 @@ class Driver:
         t0 = time.time()
         nstr = cfg.nstr
         while n_done < self.nsteps:
-            # chunk boundaries on the ABSOLUTE step grid: cadences key
-            # on the absolute step index like the reference's
-            # mod(nt, nout*) tests (q-gcm.F:1442-1489), so a resumed
-            # run keeps firing events at the same wall-clock times.
-            abs_n = step0 + n_done
-            n = min(self.chunk - abs_n % self.chunk,
-                    self.nsteps - n_done)
+            # chunk boundaries on the RELATIVE step grid: cadences key
+            # on the step count since run start, like the reference's
+            # mod(ntdone, nout*) tests with ntdone = nt - nsteps0
+            # (q-gcm.F:1271-1272,1277,1411-1489).  The coupling-cycle
+            # PHASE stays on the absolute grid -- the reference's
+            # ocean-substep test is mod(nt, nstr).eq.1 on the absolute
+            # nt (q-gcm.F:1222) -- so a resume from a mid-cycle dump
+            # re-enters the open cycle at the right point.
+            n = min(self.chunk, self.nsteps - n_done)
+            phase = (step0 + n_done) % nstr
             if i_chunk == prof_chunk:
                 from jax import profiler as _jprof
                 with _jprof.trace(self.profile_dir):
-                    carry = self._chunk_fn(carry, n, abs_n % nstr)
+                    carry = self._chunk_fn(carry, n, phase)
                     jax.block_until_ready(carry)
                     # a value fetch: a remote backend's
                     # block_until_ready can return early
                     float(jnp.ravel(carry[-1])[0])
                 prof_steps = n
             else:
-                carry = self._chunk_fn(carry, n, abs_n % nstr)
+                carry = self._chunk_fn(carry, n, phase)
             i_chunk += 1
             n_done += n
             oc, at, ofor, afor, oacc, aacc, _ = carry
             tyrs = tini + n_done * cfg.dta / SECSYR
 
             def due(cad):
-                return cad and (step0 + n_done) % cad == 0
+                return cad and n_done % cad == 0
 
             if due(self.nvalid):
                 rep = self._valids(oc if self.has_oc else None,
@@ -598,7 +672,8 @@ class Driver:
                                    at if self.has_at else None, ofor, afor)
                 if bool(rep.ok):      # last-good checkpoint only
                     save_restart(f"{out}/restart.nc", model, oc, at,
-                                 tyrs)
+                                 tyrs, **self._midcycle_forcing(
+                                     n_done, ofor, afor))
             if due(self.nprint):
                 wall = time.time() - t0
                 cflr = self._cfl(oc if self.has_oc else None,
@@ -613,7 +688,8 @@ class Driver:
                     at if self.has_at else None))
 
         tyrs = tini + n_done * cfg.dta / SECSYR
-        save_restart(f"{out}/lastday.nc", model, oc, at, tyrs)
+        save_restart(f"{out}/lastday.nc", model, oc, at, tyrs,
+                     **self._midcycle_forcing(n_done, ofor, afor))
         write_avges(f"{out}/avges.nc", model,
                     oacc if self.has_oc else None,
                     aacc if self.has_at else None)

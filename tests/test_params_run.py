@@ -422,12 +422,14 @@ def test_driver_atmos_only(tmp_path):
 
 
 def test_driver_exact_misaligned_cadence(tmp_path):
-    """Cadences are honoured at ANY whole atmospheric step like the
-    reference (q-gcm.F:640-700): a valday of 4 steps with nstr=3 keeps
-    chunk=4 -- chunk boundaries fall MID coupling cycle -- and the
-    trajectory equals the aligned single-chunk run (the chunk
+    """cadence_rounding="exact" (this framework's extension) honours
+    cadences at ANY whole atmospheric step: a valday of 4 steps with
+    nstr=3 keeps chunk=4 -- chunk boundaries fall MID coupling cycle --
+    and the trajectory equals the aligned single-chunk run (the chunk
     program's partial-cycle lead/tail segments are exercised at every
-    phase 1, 2, 0)."""
+    phase 1, 2, 0).  The default rounds the same cadence to a whole
+    number of coupling cycles, exactly like the reference
+    (nint(days*secday/dto)*nstr, q-gcm.F:656-698)."""
     from qgcm_tpu.config import double_gyre_coupled, OceanConfig
     from qgcm_tpu.run import Driver
     from qgcm_tpu.model import build_model
@@ -442,7 +444,14 @@ def test_driver_exact_misaligned_cadence(tmp_path):
                   valday=720.0 / 86400.0, odiday=0.0, adiday=0.0,
                   dgnday=0.0, prtday=0.0, resday=0.0, dtavoc=0.0,
                   dtavat=0.0, name="rbal")
-    drv = Driver(model, p, str(tmp_path / "a"), verbose=False)
+    # reference parity (default): nint(720/540)*3 = 3 steps
+    with pytest.warns(UserWarning, match="coupling cycles"):
+        drv_ref = Driver(model, p, str(tmp_path / "ref"),
+                         verbose=False)
+    assert drv_ref.nvalid == 3
+    with pytest.warns(UserWarning, match="chunk program"):
+        drv = Driver(model, p, str(tmp_path / "a"), verbose=False,
+                     cadence_rounding="exact")
     assert drv.nvalid == 4 and drv.chunk == 4 and drv.nsteps == 36
     res = drv.run()
     assert not res.aborted and res.steps_done == 36
@@ -566,12 +575,17 @@ def test_no_cadence_runs_one_big_chunk(tmp_path):
 
 
 def test_driver_midcycle_restart_resume(tmp_path):
-    """A restart cadence that is not a multiple of nstr writes
-    restart.nc MID coupling cycle; resuming from it must (a) derive
-    the absolute step index from the stored time, (b) enter the open
-    cycle at the right phase (the first chunk's lead segment), and
-    (c) keep firing events on the ABSOLUTE cadence grid, like the
-    reference's mod(nt, nout*) tests on nt = nsteps0+1.. ."""
+    """A restart cadence that is not a multiple of nstr (exact-cadence
+    extension) writes restart.nc MID coupling cycle; resuming from it
+    must (a) derive the absolute step index from the stored time,
+    (b) re-enter the open cycle at the right phase (the first chunk's
+    lead segment) UNDER THE SAME FORCING the uninterrupted run used
+    (the dump embeds the open cycle's ofor/afor -- recomputing from
+    the advanced m-slots would silently diverge), so the resumed
+    trajectory matches a straight-through control, and (c) fire events
+    on the RELATIVE cadence grid, like the reference's
+    mod(ntdone, nout*) tests with ntdone = nt - nsteps0
+    (q-gcm.F:1271-1272,1277)."""
     from qgcm_tpu.config import double_gyre_coupled, OceanConfig
     from qgcm_tpu.run import Driver
     from qgcm_tpu.model import build_model
@@ -580,34 +594,59 @@ def test_driver_midcycle_restart_resume(tmp_path):
                                ndxr=4, ocean=OceanConfig(dxo=20.0e3))
     model = build_model(base)
     day = 86400.0
+    # straight-through control: 18 steps, no events
+    pc = RunParams(trun=18 * 180.0 / day / 365.0, dta=180.0, nstr=3,
+                   dxo=20.0e3, valday=0.0, odiday=0.0, adiday=0.0,
+                   dgnday=0.0, prtday=0.0, resday=0.0,
+                   dtavoc=0.0, dtavat=0.0, name="rbal")
+    ctl = Driver(model, pc, str(tmp_path / "ctl"), verbose=False).run()
+    assert ctl.steps_done == 18
+
     # dta=180, nstr=3: run 10 steps, restart cadence every 10 steps
     # (10 % 3 != 0 -> the dump lands mid-cycle at phase 1)
     p = RunParams(trun=10 * 180.0 / day / 365.0, dta=180.0, nstr=3,
                   dxo=20.0e3, valday=0.0, odiday=0.0, adiday=0.0,
                   dgnday=0.0, prtday=0.0, resday=10 * 180.0 / day,
                   dtavoc=0.0, dtavat=0.0, name="rbal")
-    drv = Driver(model, p, str(tmp_path / "a"), verbose=False)
+    drv = Driver(model, p, str(tmp_path / "a"), verbose=False,
+                 cadence_rounding="exact")
     assert drv.nrestart == 10
     res = drv.run()
     assert res.steps_done == 10
     rst = tmp_path / "a" / "restart.nc"
     assert rst.exists()
+    # the mid-cycle dump embeds the open cycle's forcing
+    from scipy.io import netcdf_file
+    with netcdf_file(str(rst), "r", mmap=False) as f:
+        assert "tauxa" in f.variables and "tauxo" in f.variables
 
-    # resume for 8 more steps: step0=10 -> phase 1; the monitor
-    # cadence of 6 steps must fire at ABSOLUTE steps 12 and 18, i.e.
-    # 2 records (not the 1 a relative grid would give for 8 steps)
+    # resume for 8 more steps: step0=10 -> phase 1 (2 lead atmos
+    # steps complete the open cycle); the monitor cadence of 6 steps
+    # fires ONCE on the relative grid, at ntdone=6 = absolute step 16
+    # (ntdone semantics -- an absolute grid would give 12 and 18)
     p2 = RunParams(trun=8 * 180.0 / day / 365.0, dta=180.0, nstr=3,
                    dxo=20.0e3, valday=0.0, odiday=0.0, adiday=0.0,
                    dgnday=6 * 180.0 / day, prtday=0.0, resday=0.0,
                    dtavoc=0.0, dtavat=0.0, name=str(rst))
-    drv2 = Driver(model, p2, str(tmp_path / "b"), verbose=False)
+    drv2 = Driver(model, p2, str(tmp_path / "b"), verbose=False,
+                  cadence_rounding="exact")
     res2 = drv2.run()
     assert res2.steps_done == 8
     assert abs(res2.tyrs - 18 * 180.0 / (86400.0 * 365.0)) < 1e-12
-    from scipy.io import netcdf_file
     with netcdf_file(str(tmp_path / "b" / "monit.nc"), "r",
                      mmap=False) as f:
         t = f.variables["time"][:].copy()
-    assert len(t) == 2
+    assert len(t) == 1
     np.testing.assert_allclose(
-        t * 365.0 * 86400.0 / 180.0, [12.0, 18.0], atol=1e-6)
+        t * 365.0 * 86400.0 / 180.0, [16.0], atol=1e-6)
+
+    # trajectory faithfulness: the resumed run ends where the
+    # straight-through control does (restart rederives q from p, so
+    # agreement is at inversion exactness, not bit level -- the
+    # reference's own resume has the same property, q-gcm.F:715-750)
+    for a, b in ((res2.ocean.po, ctl.ocean.po),
+                 (res2.ocean.sst, ctl.ocean.sst),
+                 (res2.atmos.pa, ctl.atmos.pa),
+                 (res2.atmos.ast, ctl.atmos.ast)):
+        a, b = np.asarray(a), np.asarray(b)
+        assert np.abs(a - b).max() <= 1e-9 * (np.abs(b).max() + 1e-30)
