@@ -56,19 +56,35 @@ def test_ocean_sharding_equivalence(cyclic):
         assert np.abs(a - b).max() < 1e-11 * scale, name
 
 
-def test_coupled_sharding_equivalence():
+@pytest.mark.parametrize("tau_udiff,rows", [
+    (False, False),
+    # tau_udiff engages the shard-local pad-embedded windstress and
+    # the footprint-window stress recomputation (coupling.py), both
+    # of which must reproduce the single-device trajectory -- on the
+    # default 2-D mesh AND on the production rows mesh with the a2a
+    # spectral solvers + 'overlap' halo schedule
+    (True, False),
+    (True, True),
+])
+def test_coupled_sharding_equivalence(tau_udiff, rows):
     cfg = double_gyre_coupled(nxta=24, nyta=12, nxaooc=8, nyaooc=8,
-                              ndxr=4, dta=180.0,
+                              ndxr=4, dta=180.0, tau_udiff=tau_udiff,
                               ocean=OceanConfig(dxo=20.0e3))
     model = build_model(cfg)
-    oc = init_ocean_state(model, init="rbal")
+    # eddy in the ocean so pom is nonzero and the ocean-relative
+    # stress (xfosubs.F:150-156,235-300) actually differs from the
+    # plain quad-drag path
+    oc = init_ocean_state(model, po=eddy_pressure(cfg))
     at = init_atmos_state(model, init="rbal")
     oc_r, at_r = make_coupled_runner(model)(oc, at, 12)
 
-    mesh = make_mesh(jax.devices()[:8])
+    mesh = make_mesh(jax.devices()[:8], rows_only=rows)
+    kwargs = dict(mesh=mesh)
+    if rows:
+        kwargs.update(spectral_variant="a2a", halo_variant="overlap")
     oc_s = shard_tree(oc, mesh)
     at_s = shard_tree(at, mesh)
-    oc_o, at_o = make_coupled_runner(model, mesh=mesh)(oc_s, at_s, 12)
+    oc_o, at_o = make_coupled_runner(model, **kwargs)(oc_s, at_s, 12)
 
     for name, a, b in (("po", oc_r.po, oc_o.po),
                        ("pa", at_r.pa, at_o.pa),
