@@ -28,11 +28,14 @@ jax.config.update("jax_enable_x64", True)
 
 import jax.numpy as jnp  # noqa: E402
 
-from qgcm_tpu.config import ModelConfig, OceanConfig  # noqa: E402
+from qgcm_tpu.config import (ModelConfig, OceanConfig,  # noqa: E402
+                             double_gyre_coupled)
 from qgcm_tpu.model import build_model  # noqa: E402
 from qgcm_tpu.models.ocean import (init_ocean_state,  # noqa: E402
                                    ocean_forcing_from_mean)
-from qgcm_tpu.models.stepper import make_ocean_only_runner  # noqa: E402
+from qgcm_tpu.models.atmos import init_atmos_state  # noqa: E402
+from qgcm_tpu.models.stepper import (make_ocean_only_runner,  # noqa: E402
+                                     make_coupled_runner)
 from qgcm_tpu.generators import eddy_pressure, zero_forcing  # noqa: E402
 from qgcm_tpu.parallel.launch import (distributed_session,  # noqa: E402
                                       is_primary)
@@ -66,6 +69,28 @@ def scalars(st):
     })(st)
 
 
+def build_coupled():
+    cfg = double_gyre_coupled(nxta=24, nyta=12, nxaooc=8, nyaooc=8,
+                              ndxr=4, dta=180.0,
+                              ocean=OceanConfig(dxo=20.0e3))
+    model = build_model(cfg)
+    oc = init_ocean_state(model, po=eddy_pressure(cfg))
+    at = init_atmos_state(model, init="rbal")
+    return model, oc, at
+
+
+def coupled_scalars(oc, at):
+    return jax.jit(lambda o, a: {
+        "cpl_po_l2": jnp.sum(o.po ** 2),
+        # abs-sums: plain sums of near-zero-mean fields cancel to
+        # rounding level and defeat a relative comparison
+        "cpl_sst_sum": jnp.sum(jnp.abs(o.sst)),
+        "cpl_pa_l2": jnp.sum(a.pa ** 2),
+        "cpl_ast_sum": jnp.sum(jnp.abs(a.ast)),
+        "cpl_hmixa_max": jnp.max(a.hmixa),
+    })(oc, at)
+
+
 def main():
     coord, nproc, pid, outdir = (sys.argv[1], int(sys.argv[2]),
                                  int(sys.argv[3]), sys.argv[4])
@@ -90,7 +115,19 @@ def main():
         n_local = len(out.sst.addressable_shards)
         assert n_local < len(jax.devices()), n_local
 
+        # coupled cycle over the same 2-process mesh: xforc (bicubic
+        # refinement, windstress, heat fluxes) + both fluids' steps
+        # and inversions run distributed (q-gcm.F:1222-1268 analogue)
+        cmodel, oc, at = build_coupled()
+        oc = shard_tree(oc, mesh)
+        at = shard_tree(at, mesh)
+        oc2, at2 = make_coupled_runner(cmodel, mesh=mesh,
+                                       spectral_variant="a2a")(oc, at, 6)
+        assert len(oc2.sst.addressable_shards) < len(jax.devices())
+
         vals = {k: float(v) for k, v in scalars(out).items()}
+        vals.update({k: float(v) for k, v in
+                     coupled_scalars(oc2, at2).items()})
         vals["primary"] = is_primary()
         vals["n_local_shards"] = n_local
         with open(os.path.join(outdir, f"proc{pid}.json"), "w") as fh:

@@ -47,6 +47,30 @@ def rundir(tmp_path_factory):
     return str(tmp), cfg
 
 
+def test_analyze_cli_end_to_end(rundir, capsys):
+    """`qgcm analyze <outdata>` on a driver-produced run directory
+    runs the energy check and writes both derived-product files --
+    the Ruby analysis entry point's workflow (analyze_data.rb /
+    qgcm_k247.rb:391-454) through this framework's CLI."""
+    d, cfg = rundir
+    for f in ("monit_energy.nc", "sshmax_etc.nc"):
+        p = os.path.join(d, f)
+        if os.path.exists(p):
+            os.remove(p)
+    from qgcm_tpu.cli import main
+    assert main(["analyze", d]) == 0
+    out = capsys.readouterr().out
+    assert "te_fin_over_ini" in out
+    assert "emfroc: worst fractional error" in out
+    with netcdf_file(os.path.join(d, "monit_energy.nc"), "r",
+                     mmap=False) as f:
+        te = f.variables["te"][:].copy()
+        assert np.isfinite(te).all() and len(te) >= 2
+    with netcdf_file(os.path.join(d, "sshmax_etc.nc"), "r",
+                     mmap=False) as f:
+        assert np.isfinite(f.variables["hmax"][:]).all()
+
+
 def test_sshmax_tracking(rundir):
     d, cfg = rundir
     qd = QgcmData(d)

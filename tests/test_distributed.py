@@ -43,8 +43,11 @@ def test_two_process_distributed_run(tmp_path):
 
     vals = [json.load(open(tmp_path / f"proc{i}.json")) for i in (0, 1)]
 
-    # both processes observe identical global reductions
-    for k in ("po_l2", "po_max", "qo_l2", "sst_sum", "dpioc"):
+    # both processes observe identical global reductions (ocean-only
+    # runner AND the coupled cycle: xforc + both fluids distributed)
+    for k in ("po_l2", "po_max", "qo_l2", "sst_sum", "dpioc",
+              "cpl_po_l2", "cpl_sst_sum", "cpl_pa_l2", "cpl_ast_sum",
+              "cpl_hmixa_max"):
         assert vals[0][k] == vals[1][k], k
 
     # the state was genuinely distributed: 4 local shards of 8 devices
@@ -63,8 +66,15 @@ def test_two_process_distributed_run(tmp_path):
     sys.path.insert(0, os.path.join(_REPO, "tests"))
     import _dist_worker as w
     model, st, f = w.build()
-    from qgcm_tpu.models.stepper import make_ocean_only_runner
+    from qgcm_tpu.models.stepper import (make_ocean_only_runner,
+                                         make_coupled_runner)
     ref = make_ocean_only_runner(model)(st, f, 12)
     refs = {k: float(v) for k, v in w.scalars(ref).items()}
-    for k in ("po_l2", "po_max", "qo_l2", "sst_sum", "dpioc"):
+    cmodel, oc, at = w.build_coupled()
+    oc2, at2 = make_coupled_runner(cmodel)(oc, at, 6)
+    refs.update({k: float(v) for k, v in
+                 w.coupled_scalars(oc2, at2).items()})
+    for k in ("po_l2", "po_max", "qo_l2", "sst_sum", "dpioc",
+              "cpl_po_l2", "cpl_sst_sum", "cpl_pa_l2", "cpl_ast_sum",
+              "cpl_hmixa_max"):
         assert abs(vals[0][k] - refs[k]) <= 1e-11 * (abs(refs[k]) + 1e-30), k
