@@ -114,8 +114,12 @@ def cmd_run(args):
         elif args.mesh == "rows":
             mesh = make_mesh(rows_only=True)
         elif args.mesh == "auto":
-            # channel configs decompose by rows (make_mesh docstring)
-            mesh = make_mesh(rows_only=cfg.cyclic_ocean)
+            # rows-only for every config: it keeps the explicit halo
+            # schedule + fused Pallas kernel (x>1 meshes fall back to
+            # GSPMD stencils) and it is the measured-best layout --
+            # channels additionally NEED x unsharded for the cyclic
+            # wraparound (make_mesh docstring, BENCHMARKS.md)
+            mesh = make_mesh(rows_only=True)
         else:
             import numpy as np
             from jax.sharding import Mesh

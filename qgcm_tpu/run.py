@@ -117,6 +117,18 @@ class Driver:
                          and mesh.shape.get("x", 1) == 1
                          and mesh.shape.get("y", 1) > 1)
             halo_variant = "overlap" if rows_only else None
+            if mesh is not None and mesh.shape.get("x", 1) > 1:
+                import warnings
+                warnings.warn(
+                    "mesh decomposes x: the explicit ppermute halo "
+                    "schedule and the fused Pallas vorticity kernel "
+                    "decompose rows only, so stencils fall back to "
+                    "GSPMD auto halos and the kernel turns off. "
+                    "Rows-only meshes (make_mesh(rows_only=True) / "
+                    "qgcm run --mesh rows|auto) are the measured-best "
+                    "production layout at every example config "
+                    "(BENCHMARKS.md 'mesh layout' note).",
+                    stacklevel=2)
         self.halo_variant = halo_variant
         self.p = params
         self.outdir = outdir

@@ -138,8 +138,11 @@ def test_driver_mesh_default_halo_variant(tmp_path):
     d = Driver(model, p, str(tmp_path / "a"), mean_forcing=None,
                verbose=False, mesh=rows)
     assert d.halo_variant == "overlap"
-    d2 = Driver(model, p, str(tmp_path / "b"), mean_forcing=None,
-                verbose=False, mesh=two_d)
+    # 2-D meshes lose the explicit schedule + Pallas kernel: the
+    # fallback must be LOUD, steering users to rows-only meshes
+    with pytest.warns(UserWarning, match="rows only"):
+        d2 = Driver(model, p, str(tmp_path / "b"), mean_forcing=None,
+                    verbose=False, mesh=two_d)
     assert d2.halo_variant is None
     d3 = Driver(model, p, str(tmp_path / "c"), mean_forcing=None,
                 verbose=False, mesh=rows, halo_variant=None)
