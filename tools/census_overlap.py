@@ -95,15 +95,34 @@ def census(txt: str):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--size", type=int, default=4801)
+    ap.add_argument("--topo", default="v5e:2x4",
+                    help="AOT topology (e.g. v5e:2x4, v5e:8x8)")
+    ap.add_argument("--mesh", default=None, metavar="NYxNX",
+                    help="mesh shape over the topology's devices "
+                    "(default: rows-only NY=all, the production "
+                    "layout; the round-2 census used 4x2)")
+    ap.add_argument("--no-async", action="store_true",
+                    help="compile with synchronous all-to-all (the "
+                    "compiler refuses async a2a when the replica "
+                    "group spans more than one torus ring, e.g. "
+                    "64-wide groups on v5e:8x8: 'Async all-to-all "
+                    "not supported on limited ICI'); reports the "
+                    "sync a2a op count instead of spans")
     args = ap.parse_args()
     nxp = args.size
     try:
         from jax.experimental import topologies
-        topo = topologies.get_topology_desc("v5e:2x4", "tpu")
+        topo = topologies.get_topology_desc(args.topo, "tpu")
     except Exception as e:  # pragma: no cover
         print("AOT TPU compile unavailable:", e)
         return
-    tmesh = Mesh(np.array(topo.devices).reshape(4, 2), ("y", "x"))
+    ndev = len(topo.devices)
+    if args.mesh:
+        my, mx = (int(v) for v in args.mesh.split("x"))
+    else:
+        my, mx = ndev, 1
+    assert my * mx == ndev, (my, mx, ndev)
+    tmesh = Mesh(np.array(topo.devices).reshape(my, mx), ("y", "x"))
     rdm2 = np.array([0.0, 5.9e-10, 2.3e-9], dtype=np.float32)
     base = make_box_helmholtz(nxp, nxp, 1e3, 1e3, rdm2,
                               dtype=jnp.float32, transform="matmul")
@@ -115,13 +134,20 @@ def main():
         r = jax.lax.with_sharding_constraint(r, shd)
         return jax.lax.with_sharding_constraint(sh.solve(r), shd)
 
+    opts = ({} if args.no_async else
+            {"xla_tpu_enable_async_all_to_all": "true"})
     with jax.enable_x64(False):
-        txt = jax.jit(fn, compiler_options={
-            "xla_tpu_enable_async_all_to_all": "true",
-        }).lower(sd).compile().as_text()
+        txt = jax.jit(fn, compiler_options=opts) \
+            .lower(sd).compile().as_text()
 
+    print(f"box a2a solve {nxp}^2 x 3 f32 (matmul DST), {args.topo} "
+          f"AOT, mesh {my}x{mx}:")
+    if args.no_async:
+        n_a2a = len(re.findall(r"= .*\ball-to-all\(", txt))
+        print(f"  synchronous all-to-all ops: {n_a2a} "
+              "(compiles and runs; no overlap spans to census)")
+        return
     spans = census(txt)
-    print(f"box a2a solve {nxp}^2 x 3 f32 (matmul DST), v5e:2x4 AOT:")
     print(f"  async all-to-all spans: {len(spans)}")
     tot_g = sum(g for _, g, _ in spans)
     n_gemmy = sum(1 for _, g, _ in spans if g > 0)
