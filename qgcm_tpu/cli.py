@@ -267,11 +267,13 @@ def main(argv=None):
                     dest="ocavg_days",
                     help="k247 ocean-average stream interval (days)")
     pr.add_argument("--mesh", default=None, metavar="auto|rows|hybrid|NYxNX",
-                    help="run on a device mesh: 'auto' (rows for "
-                         "channel configs, square box otherwise), "
-                         "'rows' (y-only decomposition), 'hybrid' "
+                    help="run on a device mesh: 'auto'/'rows' "
+                         "(y-only decomposition -- the measured-best "
+                         "production layout; keeps the explicit halo "
+                         "schedule + Pallas kernel), 'hybrid' "
                          "(multi-host: hosts on y, local chips on x), "
-                         "or an explicit NYxNX shape")
+                         "or an explicit NYxNX shape (x>1 falls back "
+                         "to GSPMD stencils, with a warning)")
     pr.add_argument("--exact-cadences", action="store_true",
                     dest="exact_cadences",
                     help="honour cadences at any whole atmospheric "

@@ -98,3 +98,73 @@ def test_production_params_roundtrip(qd):
     # PE = 0.5*rho*g'*<eta^2>: positive, finite, both interfaces
     assert e["peocavg"].shape[1] == 2
     assert (e["peocavg"][-1] > 0).all()
+
+
+# ---------------------------------------------------------------------
+# k247_eddy_1yr: the fork's namesake experiment at production scale --
+# unforced inviscid analytic eddy on the default 4 km cyclic 1.5-layer
+# config (zero forcing per k247_make_forcing_q-gcm.F90:126-135).
+# Being unforced AND inviscid, the run is itself the energy-
+# conservation and beta-drift oracle. Numbers: docs/production_run.md.
+# ---------------------------------------------------------------------
+
+K247DIR = os.path.join(os.path.dirname(__file__), "..", "examples",
+                       "k247_eddy_1yr", "outdata")
+
+
+@pytest.fixture(scope="module")
+def k247():
+    if not os.path.exists(os.path.join(K247DIR, "monit.nc")):
+        pytest.skip("k247 production monit.nc not present")
+    from qgcm_tpu.analysis import QgcmData
+    return QgcmData(K247DIR)
+
+
+def test_k247_energy_conservation_production_scale(k247):
+    """Unforced + inviscid for 73k f32 steps: layer-1 total energy
+    (KE1 + PE; layer 2 is the 3.2e20 m rest layer whose depth-weighted
+    'KE' is rounding noise) conserved to well under 1%."""
+    e = k247.energy_series()
+    ke1 = e["keocavg"][:, 0]
+    pe = e["peocavg"][:, 0]
+    te1 = ke1 + pe
+    assert len(te1) == 365
+    spread = (te1.max() - te1.min()) / te1[0]
+    assert spread < 0.02, spread          # measured 0.0041
+    # the partition shifts KE->PE but both stay O(initial)
+    assert 0.5 < ke1[-1] / ke1[0] < 1.1
+    assert 0.9 < pe[-1] / pe[0] < 1.5
+
+
+def test_k247_beta_drift_production_scale(k247):
+    """The committed eddy track (sshmax_etc.nc from the 73-day ocpo
+    snapshots): anticyclone drifts SOUTHWEST at ~beta*Rd^2 and stays
+    coherent all year (the package's beta-drift oracle, at 960^2)."""
+    with netcdf_file(os.path.join(K247DIR, "sshmax_etc.nc"), "r",
+                     mmap=False) as f:
+        hm = f.variables["hmax"][:].copy()
+        hi = f.variables["hmax_i"][:].copy()
+        hj = f.variables["hmax_j"][:].copy()
+    assert len(hm) == 5
+    # coherent, slowly decaying amplitude
+    assert hm[-1] > 0.5 * hm[0]
+    assert (np.diff(hm) < 0).all()
+    # monotone westward + southward track (no wraparound in year 1)
+    assert (np.diff(hi) < 0).all()
+    assert (np.diff(hj) < 0).all()
+    # westward speed ~ beta*Rd^2 (order check: 2-8 cm/s)
+    dxo, nsko, days = 4.0e3, 4, 73.0 * 86400.0
+    speed = (hi[0] - hi[-1]) * dxo * nsko / (4 * days)
+    assert 0.02 < speed < 0.08, speed     # measured ~0.039 m/s
+
+
+def test_k247_unforced_diagnostics_exact_zero(k247):
+    """Wind work, bottom drag and KE-PE wind conversion are
+    identically zero in an unforced inviscid run; the cyclic
+    constraint monitor closes exactly; CFL stays tiny."""
+    with netcdf_file(os.path.join(K247DIR, "monit.nc"), "r",
+                     mmap=False) as f:
+        for name in ("utauoc", "btdgoc", "pkenoc"):
+            assert np.abs(f.variables[name][:]).max() == 0.0, name
+        assert np.abs(f.variables["emfroc"][:]).max() < 1e-12
+        assert f.variables["cnqgoc"][:].max() < 0.2
