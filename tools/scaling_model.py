@@ -13,14 +13,20 @@ parameter now comes from an AOT census of a schedule compiled FOR the
 production rows-only mesh at the chip count in question
 (tools/census_overlap.py), not from a hand-picked credit:
 
-  v5e:2x4  mesh 8x1  (async a2a): 6 spans per solve = 2 per mode
+  v5e:2x4  mesh  8x1 (async a2a): 6 spans per solve = 2 per mode
       (rows meshes need ONE repartition each way, not the 2-D mesh's
       4 -- the round-3 model's '4 transposes' halves), 5/6 spans
       enclose GEMM fusions of other modes/blocks (22 GEMM fusions).
-  v5e:8x8  mesh 64x1: the compiler REFUSES async all-to-all for a
-      64-wide replica group ('Async all-to-all not supported on
-      limited ICI'); the synchronous solve compiles and runs.
-      => at 64 chips the model credits NO overlap at all.
+  v5e:4x4  mesh 16x1 (async a2a): same structure -- 6 spans, 5/6
+      with GEMMs, 22 GEMM fusions.
+  v5e:4x8  mesh 32x1 and v5e:8x8 mesh 64x1: the compiler REFUSES
+      async all-to-all ('Async all-to-all not supported on limited
+      ICI'); the synchronous solve compiles and runs.  A probe
+      confirmed this is a property of the TOPOLOGY, not the group
+      size: 8-wide factored groups (mesh 8x8 as ('y1','y2')) on
+      v5e:8x8 also lower synchronously, so a hierarchical two-stage
+      a2a cannot restore the overlap there.
+      => at 32+ chips the model credits NO overlap at all.
 
 Model:
   T_P = T_compute / P + T_comm_unhidden(P)
@@ -34,16 +40,16 @@ Model:
   equivalent, conservative: no credit for multi-link injection).
   DCN (multi-host rows, make_hybrid_mesh): 25 GB/s/host assumed.
 
-Overlap credit, ONLY where the censused schedule is async (<=8 chips;
-64-chip schedules are sync, credit zero):
+Overlap credit, ONLY where the censused schedule is async (<=16
+chips; 32+ chip schedules are sync, credit zero):
 
   hidden    <= KAPPA * min(T_a2a, T_gemm / P)
   unhidden   = max(T_a2a - hidden, T_a2a / N_SPANS)
 
 with KAPPA = 5/6 (the censused fraction of spans enclosing GEMM work
-at 8x1) and a floor of one span's bytes (the drain: the last
+at 8x1 AND 16x1) and a floor of one span's bytes (the drain: the last
 transpose has nothing left to overlap).  'no-overlap' columns show
-the credit-free model; at 16+ chips only those columns apply.
+the credit-free model; at 32+ chips only those columns apply.
 
 Run: python tools/scaling_model.py
 """
@@ -53,9 +59,9 @@ import argparse
 ICI_BW = 45e9          # bytes/s per chip, conservative injection rate
 DCN_BW = 25e9          # bytes/s per host
 N_T = 2                # a2a repartitions per mode per solve (censused)
-N_SPANS = 6            # spans per solve at 8x1 (2 per mode x 3 modes)
+N_SPANS = 6            # spans per solve at 8x1/16x1 (2 per mode x 3)
 KAPPA = 5.0 / 6.0      # censused fraction of spans enclosing GEMMs
-ASYNC_MAX_P = 8        # largest censused chip count with async a2a
+ASYNC_MAX_P = 16       # largest censused chip count with async a2a
 
 
 def _unhidden(t_a2a, t_gemm_per_chip, p):
@@ -135,9 +141,11 @@ Notes:
   efficiency RISES back toward the compute bound at large P even
   with the sync (credit-free) schedule at 16+ chips.
 - every parameter is censused from a schedule compiled FOR the chip
-  count (tools/census_overlap.py --topo v5e:2x4 --mesh 8x1 /
-  --topo v5e:8x8 --mesh 64x1 [--no-async]): transposes per solve,
-  span count, GEMM-span fraction, and the async/sync boundary.
+  count (tools/census_overlap.py --topo v5e:{2x4,4x4,4x8,8x8} --mesh
+  {8,16,32,64}x1 [--no-async]): transposes per solve, span count,
+  GEMM-span fraction, and the async/sync boundary (async a2a lowers
+  on v5e 2x4/4x4 but not 4x8/8x8 -- and not for factored 8-wide
+  subgroups either, tools/probe_hier_a2a.py).
 """)
 
 
