@@ -91,6 +91,38 @@ def cmd_run(args):
         params.name = os.path.normpath(os.path.join(case, params.name))
     cfg = _base_config(args)
     outdir = args.outdir or os.path.join(case, "outdata")
+    if getattr(args, "resume", False):
+        # continue the chain from the newest checkpoint of the newest
+        # existing segment (the reference workflow: exec_qgcm.rb:82-87
+        # links the previous run's restart.nc into the next run, one
+        # outdata dir per segment, later unified by the prep tools /
+        # analysis.unify_monit); tini comes from the file and trun is
+        # the ADDITIONAL years to run
+        def segnum(d):
+            try:
+                return int(os.path.basename(d).split("outdata_r")[1])
+            except (IndexError, ValueError):
+                return 1
+        segs = [outdir] + sorted(
+            (d for d in (os.path.join(case, n)
+                         for n in os.listdir(case)
+                         if n.startswith("outdata_r"))
+             if os.path.isdir(d)), key=segnum)
+        prev = segs[-1]
+        cands = [os.path.join(prev, n)
+                 for n in ("lastday.nc", "restart.nc")]
+        cands = [c for c in cands if os.path.exists(c)]
+        if not cands:
+            raise SystemExit(f"--resume: no lastday.nc/restart.nc "
+                             f"in {prev}")
+        params.name = max(cands, key=os.path.getmtime)
+        if args.outdir is None:
+            # fresh segment dir so the previous outputs survive
+            k = 2
+            while os.path.exists(os.path.join(case, f"outdata_r{k}")):
+                k += 1
+            outdir = os.path.join(case, f"outdata_r{k}")
+        print(f"resuming from {params.name} -> {outdir}")
 
     mean_forcing = None
     sst_mean = None
@@ -260,6 +292,12 @@ def main(argv=None):
     pr.add_argument("--outdir")
     pr.add_argument("--trun", type=float,
                     help="override run length (years)")
+    pr.add_argument("--resume", action="store_true",
+                    help="continue from the newest checkpoint in the "
+                    "case's outdata (lastday.nc/restart.nc) instead "
+                    "of the input.params initial state -- the "
+                    "reference's restart-chaining workflow "
+                    "(exec_qgcm.rb:82-87)")
     pr.add_argument("--quiet", action="store_true")
     pr.add_argument("--qoc-diag", action="store_true", dest="qoc_diag",
                     help="write the dq/dt decomposition (qocdiag.nc)")

@@ -653,3 +653,69 @@ def test_driver_midcycle_restart_resume(tmp_path):
                  (res2.atmos.ast, ctl.atmos.ast)):
         a, b = np.asarray(a), np.asarray(b)
         assert np.abs(a - b).max() <= 1e-9 * (np.abs(b).max() + 1e-30)
+
+
+def test_cli_run_resume_chains_segments(tmp_path):
+    """`qgcm run --resume`: continues from the newest checkpoint of
+    the newest segment into a FRESH outdata_rK dir (the reference's
+    restart-chaining workflow, exec_qgcm.rb:82-87: one outdata dir per
+    segment, unified afterwards), with time carrying on from tini and
+    the unified monit series gapless."""
+    from qgcm_tpu.cli import main
+    from qgcm_tpu.analysis import unify_monit
+    from scipy.io import netcdf_file
+
+    case = tmp_path / "case"
+    case.mkdir()
+    day = 86400.0
+    # 12 steps, monit every cycle, restart dump at the end
+    (case / "input.params").write_text(
+        f" {12 * 150.0 / day / 365.0:.12e}  !! trun\n"
+        " 150.0d0   !! dta\n 3   !! nstr\n 20.0d3  !! dxo\n"
+        " 0.0d0  !! delek\n 1.3d-3 !! cdat\n 1.0d0 !! rhoat\n"
+        " 1.0d3 !! rhooc\n 1.0d3 !! cpat\n 4.0d3 !! cpoc\n"
+        " 1.0d0 !! bccoat\n 0.2d0 !! bccooc\n 1.0d0 !! xcexp\n"
+        " 1.0d0 !! ycexp\n 0.0d0 !! valday\n 0.0d0 !! odiday\n"
+        " 0.0d0 !! adiday\n"
+        f" {3 * 150.0 / day:.12e} !! dgnday\n"
+        " 0.0d0 !! prtday\n"
+        f" {12 * 150.0 / day:.12e} !! resday\n"
+        " 1 !! nsko\n 1 !! nska\n 0.0d0 !! dtavat\n 0.0d0 !! dtavoc\n"
+        " 0.0d0 !! dtcovat\n 0.0d0 !! dtcovoc\n 35.0d0 !! xlamda\n"
+        " 100.0d0 !! hmoc\n 100.0d0 !! st2d\n 2.0d9 !! st4d\n"
+        " 1000.0d0 !! hmat\n 100.0d0 !! hmamin\n 2.0d5 !! ahmd\n"
+        " 2.5d4 !! at2d\n 2.0d14 !! at4d\n 0.15d0 !! hmadmp\n"
+        " -210.0d0 !! fsbar\n 80.0d0 !! fspamp\n 2.0d2 !! zm\n"
+        " 2.0d4 2.0d4 3.0d4 !! zopt\n 1.0d-2 !! gamma\n"
+        " 0.0d0 0.0d0 !! ah2oc\n 0.0d0 0.0d0 !! ah4oc\n"
+        " 287.0d0 282.0d0 !! tabsoc\n 800.0d0 3.2d20 !! hoc\n"
+        " 0.01d0 !! gpoc\n 1.5d14 1.5d14 1.5d14 !! ah4at\n"
+        " 330.0d0 340.0d0 350.0d0 !! tabsat\n"
+        " 2000.0d0 3000.0d0 4000.0d0 !! hat\n 1.2d0 0.4d0 !! gpat\n"
+        " zero !! name\n flat !! topocname\n flat !! topatname\n"
+        " 1 1 1 1 1 1 1 !! outfloc\n 1 1 1 1 1 1 1 !! outflat\n")
+    flags = ["--nxta", "24", "--nyta", "24", "--nxaooc", "24",
+             "--nyaooc", "12", "--ndxr", "2", "--fnot", "5.92e-5",
+             "--beta", "2.08e-11", "--ocean-only", "--cyclic-ocean"]
+    assert main(["prepare", str(case), "--eddy-amp", "0.15",
+                 "--forcing", "zero"] + flags) in (0, None)
+    assert main(["run", str(case), "--quiet"] + flags) in (0, None)
+    assert (case / "outdata" / "restart.nc").exists()
+    # resume for 12 more steps into a fresh segment dir
+    assert main(["run", str(case), "--quiet", "--resume"]
+                + flags) in (0, None)
+    seg2 = case / "outdata_r2"
+    assert (seg2 / "monit.nc").exists()
+    with netcdf_file(str(seg2 / "monit.nc"), "r", mmap=False) as f:
+        t2 = f.variables["time"][:].copy()
+    # continued the clock: first segment ended at step 12
+    step = 150.0 / day / 365.0
+    np.testing.assert_allclose(
+        t2 / step, [15.0, 18.0, 21.0, 24.0], rtol=1e-5)
+    uni = tmp_path / "monit_unified.nc"
+    unify_monit([str(case / "outdata"), str(seg2)], str(uni))
+    with netcdf_file(str(uni), "r", mmap=False) as f:
+        t = f.variables["time"][:].copy()
+        assert np.isfinite(f.variables["kealoc"][:]).all()
+    np.testing.assert_allclose(
+        t / step, [3, 6, 9, 12, 15, 18, 21, 24], rtol=1e-5)
