@@ -122,6 +122,13 @@ def cmd_run(args):
             while os.path.exists(os.path.join(case, f"outdata_r{k}")):
                 k += 1
             outdir = os.path.join(case, f"outdata_r{k}")
+        elif os.path.realpath(outdir) == os.path.realpath(prev):
+            # the Driver's writers would truncate the very monit/
+            # avges files of the segment being resumed from
+            raise SystemExit(
+                f"--resume: --outdir {outdir} is the segment being "
+                f"resumed from; pick a fresh directory (or omit "
+                f"--outdir for automatic outdata_rK segments)")
         print(f"resuming from {params.name} -> {outdir}")
 
     mean_forcing = None

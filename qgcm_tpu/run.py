@@ -67,6 +67,14 @@ def _gcd_all(vals):
     return g
 
 
+def _nint(x: float) -> int:
+    """Fortran NINT for non-negative x: round half AWAY FROM ZERO.
+    Python's round() is banker's rounding (round(2.5) == 2 but
+    nint(2.5) == 3), which would silently shift any cadence that
+    lands exactly on a half cycle/step."""
+    return int(math.floor(x + 0.5))
+
+
 @dataclass
 class RunResult:
     ocean: Optional[OceanState]
@@ -118,17 +126,32 @@ class Driver:
                          and mesh.shape.get("y", 1) > 1)
             halo_variant = "overlap" if rows_only else None
             if mesh is not None and mesh.shape.get("x", 1) > 1:
-                import warnings
-                warnings.warn(
-                    "mesh decomposes x: the explicit ppermute halo "
-                    "schedule and the fused Pallas vorticity kernel "
-                    "decompose rows only, so stencils fall back to "
-                    "GSPMD auto halos and the kernel turns off. "
-                    "Rows-only meshes (make_mesh(rows_only=True) / "
-                    "qgcm run --mesh rows|auto) are the measured-best "
-                    "production layout at every example config "
-                    "(BENCHMARKS.md 'mesh layout' note).",
-                    stacklevel=2)
+                lost = ("the explicit ppermute halo schedule and the "
+                        "fused Pallas vorticity kernel decompose rows "
+                        "only, so stencils fall back to GSPMD auto "
+                        "halos and the kernel turns off")
+                n_procs = len({d.process_index
+                               for d in mesh.devices.flat})
+                if n_procs > 1:
+                    # multi-host hybrid layout (hosts on y, local
+                    # chips on x) is a DELIBERATE tradeoff: the
+                    # spectral a2a('x') stays intra-host at the cost
+                    # of the halo path -- inform, don't scold
+                    if verbose:
+                        print(f"mesh decomposes x across local chips "
+                              f"({dict(mesh.shape)}): {lost}; this "
+                              f"keeps the spectral transposes off DCN "
+                              f"(make_hybrid_mesh tradeoff)",
+                              flush=True)
+                else:
+                    import warnings
+                    warnings.warn(
+                        f"mesh decomposes x: {lost}. Rows-only meshes "
+                        "(make_mesh(rows_only=True) / qgcm run --mesh "
+                        "rows|auto) are the measured-best production "
+                        "layout at every example config (BENCHMARKS.md"
+                        " 'mesh layout' note).",
+                        stacklevel=2)
         self.halo_variant = halo_variant
         self.p = params
         self.outdir = outdir
@@ -156,9 +179,9 @@ class Driver:
             if days <= 0:
                 return 0
             if cadence_rounding == "cycles":
-                n = max(1, round(days * SECDAY / (nstr * dta))) * nstr
+                n = max(1, _nint(days * SECDAY / (nstr * dta))) * nstr
             else:
-                n = max(1, round(days * SECDAY / dta))
+                n = max(1, _nint(days * SECDAY / dta))
             if abs(n * dta - days * SECDAY) > 1e-6 * dta:
                 import warnings
                 unit = ("coupling cycles (dto=nstr*dta="
@@ -174,7 +197,9 @@ class Driver:
                     stacklevel=3)
             return n
 
-        self.nsteps = max(1, round(p.trun * SECSYR / dta))
+        # nint like the reference's nsteps derivation
+        # (q-gcm.F:649-651)
+        self.nsteps = max(1, _nint(p.trun * SECSYR / dta))
         self.nvalid = steps(p.valday, "valday")
         self.noutoc = steps(p.odiday, "odiday")
         self.noutat = steps(p.adiday, "adiday")
@@ -190,6 +215,7 @@ class Driver:
             self.nvalid, self.noutoc, self.noutat, self.nmonit,
             self.nprint, self.nrestart, self.ntavoc, self.ntavat,
             self.ncovoc, self.ncovat, self.nocavg])
+        cadence_chunk = bool(self.chunk)
         if not self.chunk:
             # No cadence enabled: nothing forces a host wake-up, so
             # run big jitted chunks (one cycle per dispatch costs a
@@ -221,8 +247,10 @@ class Driver:
                         f"grid sizes) before it dispatches",
                         stacklevel=3)
         self.chunk = max(self.chunk, 1)
-        if self.chunk % nstr:
-            # only reachable with cadence_rounding="exact": chunk
+        if cadence_chunk and self.chunk % nstr:
+            # only reachable with cadence_rounding="exact" (a
+            # no-cadence fallback chunk of nsteps % nstr != 0 is still
+            # a single phase/program and must not warn): chunk
             # boundaries rotate through the coupling-cycle phases, and
             # every distinct (n_steps, phase) pair is its own compiled
             # chunk program
@@ -500,7 +528,7 @@ class Driver:
         dtype = jnp.dtype(cfg.dtype)
         oc, at, tini = self._initial_state()
         ofor, afor = self._initial_forcing(oc, at)
-        step0 = round(tini * SECSYR / cfg.dta)
+        step0 = _nint(tini * SECSYR / cfg.dta)   # nsteps0, q-gcm.F:649
         self._step0 = step0
 
         write_matlab_params(f"{out}/input_parameters.m", p, cfg, model,
@@ -700,8 +728,14 @@ class Driver:
                     at if self.has_at else None))
 
         tyrs = tini + n_done * cfg.dta / SECSYR
-        save_restart(f"{out}/lastday.nc", model, oc, at, tyrs,
-                     **self._midcycle_forcing(n_done, ofor, afor))
+        if not aborted:
+            # the reference writes its final resave only at normal
+            # termination (q-gcm.F:1528-1539); an aborted run must NOT
+            # leave the invalid state as the newest checkpoint (the
+            # post-mortem snapshots carry it, and restart.nc remains
+            # the last state that PASSED valids)
+            save_restart(f"{out}/lastday.nc", model, oc, at, tyrs,
+                         **self._midcycle_forcing(n_done, ofor, afor))
         write_avges(f"{out}/avges.nc", model,
                     oacc if self.has_oc else None,
                     aacc if self.has_at else None)

@@ -719,3 +719,102 @@ def test_cli_run_resume_chains_segments(tmp_path):
         assert np.isfinite(f.variables["kealoc"][:]).all()
     np.testing.assert_allclose(
         t / step, [3, 6, 9, 12, 15, 18, 21, 24], rtol=1e-5)
+
+
+def test_cadence_nint_rounds_half_away_from_zero(tmp_path):
+    """Fortran NINT parity: a cadence landing exactly on a half cycle
+    rounds AWAY from zero (nint(2.5)=3), where Python's banker's
+    round() would give 2 -- silently shifting event schedules."""
+    import warnings
+    from qgcm_tpu.config import double_gyre_coupled, OceanConfig
+    from qgcm_tpu.run import Driver
+    from qgcm_tpu.model import build_model
+
+    base = double_gyre_coupled(nxta=24, nyta=12, nxaooc=8, nyaooc=8,
+                               ndxr=4, ocean=OceanConfig(dxo=20.0e3))
+    model = build_model(base)
+    # dta=180, nstr=3 -> dto=540; valday = 1350 s = 2.5 cycles
+    p = RunParams(trun=0.01 / 365.0, dta=180.0, nstr=3, dxo=20.0e3,
+                  valday=1350.0 / 86400.0, odiday=0.0, adiday=0.0,
+                  dgnday=0.0, prtday=0.0, resday=0.0, dtavoc=0.0,
+                  dtavat=0.0, name="rbal")
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        drv = Driver(model, p, str(tmp_path / "a"), verbose=False)
+    assert drv.nvalid == 9        # nint(2.5)*3, NOT round(2.5)*3 == 6
+
+
+def test_no_cadence_odd_length_does_not_warn(tmp_path):
+    """A no-cadence run whose length is not a multiple of nstr is ONE
+    chunk with one phase -- the multi-phase compile warning must not
+    fire (it is about exact-mode cadence chunks only)."""
+    import warnings
+    from qgcm_tpu.config import double_gyre_coupled, OceanConfig
+    from qgcm_tpu.run import Driver
+    from qgcm_tpu.model import build_model
+
+    base = double_gyre_coupled(nxta=24, nyta=12, nxaooc=8, nyaooc=8,
+                               ndxr=4, ocean=OceanConfig(dxo=20.0e3))
+    model = build_model(base)
+    p = RunParams(trun=10 * 180.0 / 86400.0 / 365.0, dta=180.0,
+                  nstr=3, dxo=20.0e3, valday=0.0, odiday=0.0,
+                  adiday=0.0, dgnday=0.0, prtday=0.0, resday=0.0,
+                  dtavoc=0.0, dtavat=0.0, name="rbal")
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        drv = Driver(model, p, str(tmp_path / "a"), verbose=False)
+    assert drv.nsteps == 10 and drv.chunk == 10
+
+
+def test_abort_leaves_no_lastday_checkpoint(tmp_path):
+    """An aborted run must NOT leave the invalid state as the newest
+    checkpoint: the reference writes its final resave only at normal
+    termination (q-gcm.F:1528-1539), and --resume picks checkpoints by
+    recency."""
+    from qgcm_tpu.config import ModelConfig, OceanConfig
+    from qgcm_tpu.run import run_case
+    from qgcm_tpu.generators import eddy_pressure, zero_forcing
+    from qgcm_tpu.model import build_model
+    from qgcm_tpu.models.ocean import init_ocean_state
+    from qgcm_tpu.models.atmos import init_atmos_state
+    from qgcm_tpu.io import save_restart
+
+    base = ModelConfig(nxta=24, nyta=24, nxaooc=24, nyaooc=12, ndxr=2,
+                       fnot=5.92e-5, beta=2.08e-11,
+                       ocean_only=True, cyclic_ocean=True)
+    p = RunParams(trun=2.0 / 365.0, dta=150.0, nstr=3, dxo=20.0e3,
+                  delek=0.0, valday=0.125, odiday=0.5, adiday=0.0,
+                  dgnday=0.0, prtday=0.0, resday=0.0, dtavoc=0.0,
+                  dtavat=0.0, ah2oc=(0.0, 0.0), ah4oc=(1e17, 1e17),
+                  tabsoc=(287.0, 282.0), hoc=(800.0, 3.2e20),
+                  gpoc=(0.01,), name="zero")
+    cfg = params_to_config(p, base)
+    model = build_model(cfg)
+    oc = init_ocean_state(model, po=eddy_pressure(cfg))
+    at = init_atmos_state(model, init="rbal")
+    rst = str(tmp_path / "r0.nc")
+    save_restart(rst, model, oc, at, 0.0)
+    p.name = rst
+    res = run_case(p, base, str(tmp_path / "out"),
+                   mean_forcing=zero_forcing(cfg), verbose=False)
+    assert res.aborted
+    assert not (tmp_path / "out" / "lastday.nc").exists()
+
+
+def test_cli_resume_refuses_overwriting_source_segment(tmp_path):
+    """--resume with --outdir pointing at the segment being resumed
+    from would truncate that segment's outputs; it must be refused."""
+    from qgcm_tpu.cli import main
+
+    case = tmp_path / "case"
+    case.mkdir()
+    flags = ["--nxta", "24", "--nyta", "24", "--nxaooc", "24",
+             "--nyaooc", "12", "--ndxr", "2", "--fnot", "5.92e-5",
+             "--beta", "2.08e-11", "--ocean-only", "--cyclic-ocean"]
+    assert main(["prepare", str(case), "--eddy-amp", "0.15",
+                 "--forcing", "zero"] + flags) in (0, None)
+    assert main(["run", str(case), "--quiet", "--trun", "2e-5"]
+                + flags) in (0, None)
+    with pytest.raises(SystemExit, match="segment being"):
+        main(["run", str(case), "--quiet", "--resume", "--trun",
+              "2e-5", "--outdir", str(case / "outdata")] + flags)
