@@ -231,8 +231,42 @@ def cmd_prepare(args):
 def cmd_analyze(args):
     """Energy/diagnostics summary from monit.nc (the checks the Ruby
     layer runs: KE/PE series, constraint errors, CFL), plus the
-    derived-product files monit_energy.nc and sshmax_etc.nc."""
+    derived-product files monit_energy.nc and sshmax_etc.nc.
+    --chain first unifies the monit series of a --resume segment
+    chain (outdata, outdata_r2, ...) into <case>/outdata_unified/
+    (the Ruby prep workflow, qgcm_prep_k247.rb:5-12)."""
     from scipy.io import netcdf_file
+    if getattr(args, "chain", False):
+        import shutil
+        from .analysis import unify_monit
+        first = os.path.abspath(args.outdata)
+        case = os.path.dirname(first)
+
+        def segnum(d):
+            try:
+                return int(os.path.basename(d).split("outdata_r")[1])
+            except (IndexError, ValueError):
+                return 1
+        segs = [first] + sorted(
+            (os.path.join(case, n) for n in os.listdir(case)
+             if n.startswith("outdata_r")
+             and os.path.isdir(os.path.join(case, n))), key=segnum)
+        skipped = [s for s in segs if not
+                   os.path.exists(os.path.join(s, "monit.nc"))]
+        segs = [s for s in segs if s not in skipped]
+        for s in skipped:
+            print(f"(skipping {s}: no monit.nc -- monitoring was "
+                  f"off for that segment)")
+        if not segs:
+            raise SystemExit("--chain: no segment has a monit.nc")
+        uni = os.path.join(case, "outdata_unified")
+        os.makedirs(uni, exist_ok=True)
+        unify_monit(segs, os.path.join(uni, "monit.nc"))
+        pm = os.path.join(segs[-1], "input_parameters.m")
+        if os.path.exists(pm):
+            shutil.copy(pm, uni)
+        print(f"unified {len(segs)} segments -> {uni}/monit.nc")
+        args.outdata = uni
     try:
         from .analysis import QgcmData
         qd = QgcmData(args.outdata)
@@ -347,6 +381,10 @@ def main(argv=None):
 
     pa = sub.add_parser("analyze", help="summarise a run's monit.nc")
     pa.add_argument("outdata")
+    pa.add_argument("--chain", action="store_true",
+                    help="unify a --resume segment chain (outdata, "
+                    "outdata_r2, ...) into <case>/outdata_unified "
+                    "first, then analyze the unified series")
     pa.set_defaults(fn=cmd_analyze)
 
     args = ap.parse_args(argv)

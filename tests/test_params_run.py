@@ -720,6 +720,16 @@ def test_cli_run_resume_chains_segments(tmp_path):
     np.testing.assert_allclose(
         t / step, [3, 6, 9, 12, 15, 18, 21, 24], rtol=1e-5)
 
+    # the same unification through the CLI (qgcm analyze --chain,
+    # the Ruby prep workflow)
+    assert main(["analyze", str(case / "outdata"),
+                 "--chain"]) in (0, None)
+    with netcdf_file(str(case / "outdata_unified" / "monit.nc"), "r",
+                     mmap=False) as f:
+        t = f.variables["time"][:].copy()
+    np.testing.assert_allclose(
+        t / step, [3, 6, 9, 12, 15, 18, 21, 24], rtol=1e-5)
+
 
 def test_cadence_nint_rounds_half_away_from_zero(tmp_path):
     """Fortran NINT parity: a cadence landing exactly on a half cycle
