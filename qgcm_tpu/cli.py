@@ -110,7 +110,8 @@ def cmd_run(args):
              if os.path.isdir(d)), key=segnum)
         prev = segs[-1]
         cands = [os.path.join(prev, n)
-                 for n in ("lastday.nc", "restart.nc")]
+                 for n in ("lastday.nc", "restart.nc",
+                           "lastday_orbax", "restart_orbax")]
         cands = [c for c in cands if os.path.exists(c)]
         if not cands:
             raise SystemExit(f"--resume: no lastday.nc/restart.nc "
@@ -173,7 +174,7 @@ def cmd_run(args):
                    qoc_diag=args.qoc_diag, ocavg_days=args.ocavg_days,
                    profile_dir=args.profile, mesh=mesh,
                    cadence_rounding="exact" if args.exact_cadences
-                   else "cycles")
+                   else "cycles", ckpt_format=args.ckpt_format)
     print(f"done: {res.steps_done} steps, t={res.tyrs:.4f} years"
           + (" [ABORTED ON VALIDITY FAILURE]" if res.aborted else ""))
     return 1 if res.aborted else 0
@@ -353,6 +354,13 @@ def main(argv=None):
                          "(multi-host: hosts on y, local chips on x), "
                          "or an explicit NYxNX shape (x>1 falls back "
                          "to GSPMD stencils, with a warning)")
+    pr.add_argument("--ckpt-format", choices=["netcdf", "orbax"],
+                    default="netcdf", dest="ckpt_format",
+                    help="checkpoint format: 'netcdf' = the "
+                    "reference's restart.nc schema (gathered to one "
+                    "host); 'orbax' = sharded checkpoint directories "
+                    "where each process writes its own shards (the "
+                    "at-scale multi-host path)")
     pr.add_argument("--exact-cadences", action="store_true",
                     dest="exact_cadences",
                     help="honour cadences at any whole atmospheric "

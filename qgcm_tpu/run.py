@@ -92,7 +92,8 @@ class Driver:
                  nscvat: int = 2, profile_dir: str = None,
                  mesh=None, spectral_variant: str = "a2a",
                  halo_variant: str = "auto",
-                 cadence_rounding: str = "cycles"):
+                 cadence_rounding: str = "cycles",
+                 ckpt_format: str = "netcdf"):
         """mesh: optional jax.sharding.Mesh ('y','x') for multi-chip
         runs -- the physics chunk carries 2-D spatial shardings and,
         with spectral_variant='a2a' (default), routes the PV-inversion
@@ -115,7 +116,17 @@ class Driver:
         when atmos. and ocean are in step"); "exact" honours any whole
         atmospheric step, a deliberate extension over the reference
         (chunk boundaries then fall mid-cycle and the chunk program
-        runs partial-cycle lead/tail segments)."""
+        runs partial-cycle lead/tail segments).
+
+        ckpt_format: "netcdf" (default) writes the reference's
+        restart.nc schema, gathering the state to the host; "orbax"
+        writes sharded checkpoint directories (restart_orbax/,
+        lastday_orbax/) where each process stores its own shards --
+        the at-scale path for multi-host runs (SURVEY 5.4; restart.nc
+        at NAtl size is ~1.2 GB gathered). Resume accepts either: a
+        directory path in input.params' name field loads an Orbax
+        checkpoint (restored directly into the run's mesh sharding),
+        a file loads restart.nc."""
         cfg = model.cfg
         self.model = model
         self.mesh = mesh
@@ -166,6 +177,10 @@ class Driver:
             raise ValueError("cadence_rounding must be 'cycles' or "
                              f"'exact', got {cadence_rounding!r}")
         self.cadence_rounding = cadence_rounding
+        if ckpt_format not in ("netcdf", "orbax"):
+            raise ValueError("ckpt_format must be 'netcdf' or "
+                             f"'orbax', got {ckpt_format!r}")
+        self.ckpt_format = ckpt_format
 
         def steps(days, what=""):
             """Cadence in atmospheric steps.  Default ("cycles"): the
@@ -450,6 +465,13 @@ class Driver:
             if p.name in ("zero", "rbal"):
                 oc = init_ocean_state(model, init=p.name)
                 at = init_atmos_state(model, init=p.name)
+            elif os.path.isdir(p.name):
+                # Orbax checkpoint directory (ckpt_format="orbax"):
+                # each process restores its own shards, directly into
+                # the run's mesh sharding when one is set
+                from .io.orbax_ckpt import load_checkpoint
+                oc, at, tini = load_checkpoint(
+                    os.path.abspath(p.name), model, mesh=self.mesh)
             else:
                 oc, at, tini = load_restart(p.name, model)
                 # mid-cycle dumps embed the open cycle's forcing;
@@ -461,6 +483,27 @@ class Driver:
             raise ValueError("atmos_only run needs a mean SST field "
                              "(sst_mean= or avges.nc)")
         return oc, at, tini
+
+    def _save_ckpt(self, base, oc, at, tyrs, n_done, ofor, afor):
+        """One checkpoint dump in the configured format ('restart' or
+        'lastday' base name)."""
+        if self.ckpt_format == "orbax":
+            fk = self._midcycle_forcing(n_done, ofor, afor)
+            if fk:
+                import warnings
+                warnings.warn(
+                    "orbax checkpoints do not embed mid-cycle "
+                    "forcing; the resume recomputes it from the "
+                    "advanced m-slots (exact-cadence mid-cycle dumps "
+                    "are only trajectory-faithful with "
+                    "ckpt_format='netcdf')", stacklevel=3)
+            from .io.orbax_ckpt import save_checkpoint
+            save_checkpoint(os.path.abspath(
+                f"{self.outdir}/{base}_orbax"), oc, at, tyrs)
+        else:
+            save_restart(f"{self.outdir}/{base}.nc", self.model, oc,
+                         at, tyrs,
+                         **self._midcycle_forcing(n_done, ofor, afor))
 
     def _midcycle_forcing(self, n_done, ofor, afor):
         """kwargs for save_restart: embed the open cycle's forcing when
@@ -582,7 +625,15 @@ class Driver:
         # the first jitted chunk plain NumPy leaves: jit uploads host
         # data itself, and uncommitted inputs avoid a remote-backend
         # wedge observed with explicitly device_put-committed arrays.
-        carry = jax.tree_util.tree_map(np.asarray, carry)
+        # Arrays an Orbax restore already DISTRIBUTED over the mesh
+        # are kept as-is (fetching them would gather the global state
+        # to one host -- the thing the sharded restore avoids).
+        def _to_host(x):
+            if isinstance(x, jax.Array) and \
+                    len(getattr(x.sharding, "device_set", ())) > 1:
+                return x
+            return np.asarray(x)
+        carry = jax.tree_util.tree_map(_to_host, carry)
         if self.mesh is not None and self.mesh.devices.size > 1:
             # Multi-chip run: place the initial state distributed
             # (evenly divisible fields; the chunk's constraints settle
@@ -711,9 +762,8 @@ class Driver:
                 rep = self._valids(oc if self.has_oc else None,
                                    at if self.has_at else None, ofor, afor)
                 if bool(rep.ok):      # last-good checkpoint only
-                    save_restart(f"{out}/restart.nc", model, oc, at,
-                                 tyrs, **self._midcycle_forcing(
-                                     n_done, ofor, afor))
+                    self._save_ckpt("restart", oc, at, tyrs, n_done,
+                                    ofor, afor)
             if due(self.nprint):
                 wall = time.time() - t0
                 cflr = self._cfl(oc if self.has_oc else None,
@@ -734,8 +784,8 @@ class Driver:
             # leave the invalid state as the newest checkpoint (the
             # post-mortem snapshots carry it, and restart.nc remains
             # the last state that PASSED valids)
-            save_restart(f"{out}/lastday.nc", model, oc, at, tyrs,
-                         **self._midcycle_forcing(n_done, ofor, afor))
+            self._save_ckpt("lastday", oc, at, tyrs, n_done, ofor,
+                            afor)
         write_avges(f"{out}/avges.nc", model,
                     oacc if self.has_oc else None,
                     aacc if self.has_at else None)

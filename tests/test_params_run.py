@@ -828,3 +828,58 @@ def test_cli_resume_refuses_overwriting_source_segment(tmp_path):
     with pytest.raises(SystemExit, match="segment being"):
         main(["run", str(case), "--quiet", "--resume", "--trun",
               "2e-5", "--outdir", str(case / "outdata")] + flags)
+
+
+def test_driver_orbax_checkpoint_roundtrip(tmp_path):
+    """ckpt_format="orbax": the Driver writes sharded checkpoint
+    directories (restart_orbax/, lastday_orbax/) instead of the
+    gathered restart.nc, and a resume from the directory -- restored
+    straight into the run's mesh sharding -- continues the trajectory
+    (same inversion-exactness agreement as the netCDF path)."""
+    import jax
+    from qgcm_tpu.config import double_gyre_coupled, OceanConfig
+    from qgcm_tpu.run import Driver
+    from qgcm_tpu.model import build_model
+    day = 86400.0
+
+    base = double_gyre_coupled(nxta=24, nyta=12, nxaooc=8, nyaooc=8,
+                               ndxr=4, ocean=OceanConfig(dxo=20.0e3))
+    model = build_model(base)
+    mesh = None
+    if len(jax.devices()) >= 4:
+        from qgcm_tpu.parallel.mesh import make_mesh
+        mesh = make_mesh(jax.devices()[:4], rows_only=True)
+
+    pc = RunParams(trun=18 * 180.0 / day / 365.0, dta=180.0, nstr=3,
+                   dxo=20.0e3, valday=0.0, odiday=0.0, adiday=0.0,
+                   dgnday=0.0, prtday=0.0, resday=0.0,
+                   dtavoc=0.0, dtavat=0.0, name="rbal")
+    ctl = Driver(model, pc, str(tmp_path / "ctl"), verbose=False).run()
+
+    p1 = RunParams(trun=12 * 180.0 / day / 365.0, dta=180.0, nstr=3,
+                   dxo=20.0e3, valday=0.0, odiday=0.0, adiday=0.0,
+                   dgnday=0.0, prtday=0.0,
+                   resday=6 * 180.0 / day,       # 2 cycles
+                   dtavoc=0.0, dtavat=0.0, name="rbal")
+    r1 = Driver(model, p1, str(tmp_path / "a"), verbose=False,
+                mesh=mesh, ckpt_format="orbax").run()
+    assert not r1.aborted
+    assert (tmp_path / "a" / "restart_orbax").is_dir()
+    assert (tmp_path / "a" / "lastday_orbax").is_dir()
+    assert not (tmp_path / "a" / "restart.nc").exists()
+
+    p2 = RunParams(trun=6 * 180.0 / day / 365.0, dta=180.0, nstr=3,
+                   dxo=20.0e3, valday=0.0, odiday=0.0, adiday=0.0,
+                   dgnday=0.0, prtday=0.0, resday=0.0, dtavoc=0.0,
+                   dtavat=0.0,
+                   name=str(tmp_path / "a" / "lastday_orbax"))
+    r2 = Driver(model, p2, str(tmp_path / "b"), verbose=False,
+                mesh=mesh, ckpt_format="orbax").run()
+    assert r2.steps_done == 6
+    assert abs(r2.tyrs - 18 * 180.0 / (day * 365.0)) < 1e-12
+    for name, a, b in (("po", r2.ocean.po, ctl.ocean.po),
+                       ("sst", r2.ocean.sst, ctl.ocean.sst),
+                       ("pa", r2.atmos.pa, ctl.atmos.pa)):
+        a, b = np.asarray(a), np.asarray(b)
+        scale = np.abs(b).max() + 1e-30
+        assert np.abs(a - b).max() <= 1e-9 * scale, name
