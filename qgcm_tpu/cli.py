@@ -154,11 +154,13 @@ def cmd_run(args):
         elif args.mesh == "rows":
             mesh = make_mesh(rows_only=True)
         elif args.mesh == "auto":
-            # rows-only for every config: it keeps the explicit halo
-            # schedule + fused Pallas kernel (x>1 meshes fall back to
-            # GSPMD stencils) and it is the measured-best layout --
-            # channels additionally NEED x unsharded for the cyclic
-            # wraparound (make_mesh docstring, BENCHMARKS.md)
+            # rows-only for every config: the measured-best layout
+            # (fewest spectral a2a rounds, BENCHMARKS.md) -- channels
+            # additionally NEED x unsharded for the cyclic wraparound
+            # (make_mesh docstring). Box oceans keep the explicit
+            # halo schedule + Pallas kernel on x>1 meshes too (2-D
+            # decomposition, parallel/halo.py), so explicit NYxNX
+            # and hybrid layouts lose nothing.
             mesh = make_mesh(rows_only=True)
         else:
             import numpy as np
@@ -349,11 +351,14 @@ def main(argv=None):
     pr.add_argument("--mesh", default=None, metavar="auto|rows|hybrid|NYxNX",
                     help="run on a device mesh: 'auto'/'rows' "
                          "(y-only decomposition -- the measured-best "
-                         "production layout; keeps the explicit halo "
-                         "schedule + Pallas kernel), 'hybrid' "
-                         "(multi-host: hosts on y, local chips on x), "
-                         "or an explicit NYxNX shape (x>1 falls back "
-                         "to GSPMD stencils, with a warning)")
+                         "production layout), 'hybrid' (multi-host: "
+                         "hosts on y, local chips on x), or an "
+                         "explicit NYxNX shape. Box oceans keep the "
+                         "explicit halo schedule + Pallas kernel on "
+                         "every shape (2-D decomposition when x>1); "
+                         "cyclic channels are rows-only and fall "
+                         "back to GSPMD stencils when x>1, with a "
+                         "warning")
     pr.add_argument("--ckpt-format", choices=["netcdf", "orbax"],
                     default="netcdf", dest="ckpt_format",
                     help="checkpoint format: 'netcdf' = the "

@@ -46,7 +46,7 @@ def _xghost(f, h, cyclic):
     return jnp.concatenate([zx, f, zx], axis=-1)
 
 
-def _edges(f, h, cyclic, nty):
+def _edges(f, h, cyclic, nty, x_ext=False):
     """Per-tile OUT-OF-BLOCK halo rows: (nl, ny, nx) ->
     (nl, nty, 2h, nx + 2h), rows [t*T-h, t*T) then [t*T+T, t*T+T+h)
     (zeros outside the domain).  The halo windows overlap, which
@@ -54,17 +54,28 @@ def _edges(f, h, cyclic, nty):
     assembling the window in VMEM keeps the pipelined block fetches
     while staging ~h/T of a field instead of a full strided copy
     (the old _tiles windows cost ~8 ms/step at NAtl; an in-kernel
-    HBM DMA variant lost the pipeline and measured slower still)."""
+    HBM DMA variant lost the pipeline and measured slower still).
+    x_ext: f already carries exactly h real exchanged ghost columns
+    (2-D shard_map windows, pre-sliced by the caller); keep them
+    instead of synthesising wrap/zero ghosts."""
     nl, ny, nx = f.shape
     fp = jnp.pad(f, [(0, 0), (h, nty * TILE_Y + h - ny), (0, 0)])
     rows = [jnp.concatenate(
         [fp[:, t * TILE_Y: t * TILE_Y + h],
          fp[:, t * TILE_Y + TILE_Y + h: t * TILE_Y + TILE_Y + 2 * h]],
         axis=-2) for t in range(nty)]
-    return _xghost(jnp.stack(rows, axis=1), h, cyclic)
+    out = jnp.stack(rows, axis=1)
+    return out if x_ext else _xghost(out, h, cyclic)
 
 
-def _make_kernel(ny, nx, nl, cyclic, sponge, consts, ah2, ah4):
+def _make_kernel(ny, nx, nl, cyclic, sponge, consts, ah2, ah4,
+                 nx_total=None, x_ext=False):
+    # nx is the CORE width (the output width); nx_total the global
+    # domain width the wall masks key on (== nx except in x_ext mode,
+    # where the arrays are a 2-D shard_map window whose x ghosts are
+    # real exchanged columns and whose core col 0 sits at global
+    # column goff[1]).
+    nx_total = nx if nx_total is None else nx_total
     # RAGGED-TILE INVARIANT: when ny % TILE_Y != 0, block rows with
     # global index >= ny hold UNSPECIFIED data (Mosaic pads the edge
     # tile; interpret mode pads differently). Every value the stencil
@@ -96,6 +107,12 @@ def _make_kernel(ny, nx, nl, cyclic, sponge, consts, ah2, ah4):
                 [edg[0, 0, :h], b, edg[0, 0, h:]], axis=-2)
 
         def _kernel_xghost(b, h):
+            if x_ext:
+                # the block arrives with exactly h real exchanged
+                # ghost columns (pre-sliced OUTSIDE the kernel: Mosaic
+                # cannot concatenate a lane-offset slice with the
+                # offset-0 edge rows)
+                return b
             if h == 0:
                 return b
             if cyclic:
@@ -110,7 +127,12 @@ def _make_kernel(ny, nx, nl, cyclic, sponge, consts, ah2, ah4):
 
         def colmask(n, h):
             gc = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1) - h
-            return gc == 0, gc == nx - 1
+            if x_ext:
+                # global column of the window's core col 0 (SMEM);
+                # static in the full-field mode, which keeps its
+                # Mosaic-friendly constant-foldable masks
+                gc = gc + goff_ref[1]
+            return gc == 0, gc == nx_total - 1
 
         def lap_bc(f, h):
             """Mixed-BC Laplacian: f has h ghost rings, output h-1."""
@@ -196,7 +218,8 @@ def _make_kernel(ny, nx, nl, cyclic, sponge, consts, ah2, ah4):
 
 def qgstep_pallas(pom, po, qo, qom, wekpo, entoc, r_spl, consts,
                   ah2, ah4, *, cyclic, sponge, interpret=False,
-                  row0=0, ny_total=None):
+                  row0=0, ny_total=None, col0=0, nx_total=None,
+                  x_ext=False):
     """Fused vorticity leapfrog. `consts`: python-float tuple
     (dxm2, bcfac, adfac, 1/f0, tdt, bdrfac, c1spl, beta*y0, beta*dy,
     fohfac0, fohfac1); ah2/ah4: per-layer python-float tuples.
@@ -207,23 +230,39 @@ def qgstep_pallas(pom, po, qo, qom, wekpo, entoc, r_spl, consts,
     path (parallel/halo.py): the arrays then hold a ghost-extended
     local window whose row 0 sits at GLOBAL row `row0` (a traced
     int32 scalar is fine), while the wall/sponge masks key on the
-    global domain height `ny_total` (static)."""
+    global domain height `ny_total` (static).
+
+    x_ext (box only): pom/po/qo additionally carry HALO real exchanged
+    ghost COLUMNS (2-D shard_map windows, parallel/halo.py); the core
+    is then nx - 2*HALO wide with its column 0 at GLOBAL column `col0`
+    (traced), wall masks keying on the global width `nx_total`
+    (static). qom/wek/ent/rspl stay core-width."""
     nl, ny, nx = pom.shape
     ny_total = ny if ny_total is None else ny_total
+    ncore = nx - 2 * HALO if x_ext else nx
+    nx_total = ncore if nx_total is None else nx_total
     nty = pl.cdiv(ny, TILE_Y)
-    nxw = nx + 2 * HALO
+    nxw = ncore + 2 * HALO
+    if x_ext:
+        # pre-slice the width-1-halo fields to ncore+2 here (XLA-land):
+        # an in-kernel lane slice cannot be concatenated with the
+        # offset-0 edge rows by Mosaic
+        po = po[..., HALO - 1: nx - HALO + 1]
+        qo = qo[..., HALO - 1: nx - HALO + 1]
+    nx_po = ncore + 2 if x_ext else nx
 
     # Every field rides RAW with ragged pipelined blocks (Mosaic masks
     # the edge tile); the halo-carrying inputs additionally ship their
     # thin out-of-block edge rows (_edges, ~h/T of a field) and the
     # window is assembled in VMEM -- no full-field staging relayouts.
-    pom_e = _edges(pom, HALO, cyclic, nty)      # (nl, nty, 6, nx+6)
-    po_e = _edges(po, 1, cyclic, nty)
-    qo_e = _edges(qo, 1, cyclic, nty)
+    pom_e = _edges(pom, HALO, cyclic, nty, x_ext)  # (nl,nty,6,ncore+6)
+    po_e = _edges(po, 1, cyclic, nty, x_ext)
+    qo_e = _edges(qo, 1, cyclic, nty, x_ext)
     rspl = r_spl if sponge else jnp.zeros_like(wekpo)
 
-    kernel = _make_kernel(ny_total, nx, nl, cyclic, sponge, consts,
-                          tuple(ah2), tuple(ah4))
+    kernel = _make_kernel(ny_total, ncore, nl, cyclic, sponge, consts,
+                          tuple(ah2), tuple(ah4), nx_total=nx_total,
+                          x_ext=x_ext)
 
     # The package enables jax_enable_x64 globally (CPU parity runs);
     # Mosaic cannot lower the resulting int64 grid/index arithmetic,
@@ -233,41 +272,42 @@ def qgstep_pallas(pom, po, qo, qom, wekpo, entoc, r_spl, consts,
                  if jax.config.jax_enable_x64 and not interpret
                  else _nullcontext())
     with x64_scope:
-        goff = jnp.asarray(row0, jnp.int32).reshape(1)
+        goff = jnp.stack([jnp.asarray(row0, jnp.int32),
+                          jnp.asarray(col0, jnp.int32)])
         out = pl.pallas_call(
         kernel,
         grid=(nl, nty),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),       # global row0
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # global (row0,col0)
             pl.BlockSpec((1, TILE_Y, nx), lambda k, t: (k, t, 0),
                          memory_space=pltpu.VMEM),       # pom block
-            pl.BlockSpec((1, TILE_Y, nx), lambda k, t: (k, t, 0),
+            pl.BlockSpec((1, TILE_Y, nx_po), lambda k, t: (k, t, 0),
                          memory_space=pltpu.VMEM),       # po block
-            pl.BlockSpec((1, TILE_Y, nx), lambda k, t: (k, t, 0),
+            pl.BlockSpec((1, TILE_Y, nx_po), lambda k, t: (k, t, 0),
                          memory_space=pltpu.VMEM),       # qo block
             pl.BlockSpec((1, 1, 2 * HALO, nxw),
                          lambda k, t: (k, t, 0, 0),
                          memory_space=pltpu.VMEM),       # pom edges
-            pl.BlockSpec((1, 1, 2, nx + 2),
+            pl.BlockSpec((1, 1, 2, ncore + 2),
                          lambda k, t: (k, t, 0, 0),
                          memory_space=pltpu.VMEM),       # po edges
-            pl.BlockSpec((1, 1, 2, nx + 2),
+            pl.BlockSpec((1, 1, 2, ncore + 2),
                          lambda k, t: (k, t, 0, 0),
                          memory_space=pltpu.VMEM),       # qo edges
-            pl.BlockSpec((1, TILE_Y, nx),
+            pl.BlockSpec((1, TILE_Y, ncore),
                          lambda k, t: (k, t, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE_Y, nx), lambda k, t: (t, 0),
+            pl.BlockSpec((TILE_Y, ncore), lambda k, t: (t, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE_Y, nx), lambda k, t: (t, 0),
+            pl.BlockSpec((TILE_Y, ncore), lambda k, t: (t, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE_Y, nx), lambda k, t: (t, 0),
+            pl.BlockSpec((TILE_Y, ncore), lambda k, t: (t, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, TILE_Y, nx),
+        out_specs=pl.BlockSpec((1, TILE_Y, ncore),
                                lambda k, t: (k, t, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((nl, ny, nx), pom.dtype),
+        out_shape=jax.ShapeDtypeStruct((nl, ny, ncore), pom.dtype),
             # 8 full-width blocks double-buffered exceed the default
             # 16 MB scoped-VMEM budget at reference-scale nx (v5e has
             # 128 MB of VMEM; at NAtl 4801-wide rows the blocks total

@@ -101,11 +101,13 @@ class Driver:
         (parallel/spectral.py); halo_variant routes the ocean
         vorticity stencil through the shard_map ppermute path
         (parallel/halo.py). The default 'auto' picks the
-        measured-best 'overlap' schedule on rows-decomposed meshes
-        (strictly fewer collectives than GSPMD's auto stencil halos --
-        51 vs 81 per step, BENCHMARKS.md -- and it keeps the fused
-        Pallas kernel, which bare GSPMD cannot partition); 2-D meshes
-        fall back to GSPMD (the halo path decomposes rows only).
+        measured-best 'overlap' schedule on any mesh (strictly fewer
+        collectives than GSPMD's auto stencil halos -- 51 vs 81 per
+        step on rows meshes, BENCHMARKS.md -- and it keeps the fused
+        Pallas kernel, which bare GSPMD cannot partition); meshes
+        with x > 1 take the 2-D (y,x) halo decomposition for box
+        oceans, while CYCLIC channels are rows-only by design and
+        fall back to GSPMD with a warning when x is sharded.
         Pass None to force GSPMD. I/O and event diagnostics are
         unchanged (writers gather to host at cadence boundaries
         only).
@@ -132,37 +134,33 @@ class Driver:
         self.mesh = mesh
         self.spectral_variant = spectral_variant
         if halo_variant == "auto":
-            rows_only = (mesh is not None
-                         and mesh.shape.get("x", 1) == 1
-                         and mesh.shape.get("y", 1) > 1)
-            halo_variant = "overlap" if rows_only else None
-            if mesh is not None and mesh.shape.get("x", 1) > 1:
-                lost = ("the explicit ppermute halo schedule and the "
-                        "fused Pallas vorticity kernel decompose rows "
-                        "only, so stencils fall back to GSPMD auto "
-                        "halos and the kernel turns off")
-                n_procs = len({d.process_index
-                               for d in mesh.devices.flat})
-                if n_procs > 1:
-                    # multi-host hybrid layout (hosts on y, local
-                    # chips on x) is a DELIBERATE tradeoff: the
-                    # spectral a2a('x') stays intra-host at the cost
-                    # of the halo path -- inform, don't scold
-                    if verbose:
-                        print(f"mesh decomposes x across local chips "
-                              f"({dict(mesh.shape)}): {lost}; this "
-                              f"keeps the spectral transposes off DCN "
-                              f"(make_hybrid_mesh tradeoff)",
-                              flush=True)
-                else:
-                    import warnings
-                    warnings.warn(
-                        f"mesh decomposes x: {lost}. Rows-only meshes "
-                        "(make_mesh(rows_only=True) / qgcm run --mesh "
-                        "rows|auto) are the measured-best production "
-                        "layout at every example config (BENCHMARKS.md"
-                        " 'mesh layout' note).",
-                        stacklevel=2)
+            any_sharded = (mesh is not None
+                           and (mesh.shape.get("x", 1) > 1
+                                or mesh.shape.get("y", 1) > 1))
+            x_sharded = (mesh is not None
+                         and mesh.shape.get("x", 1) > 1)
+            if x_sharded and cfg.cyclic_ocean:
+                # cyclic channels are rows-only by design (the
+                # duplicated-column wraparound loses when x is
+                # sharded; parallel/mesh.make_mesh) -- the halo path
+                # refuses them, so fall back to GSPMD and warn
+                halo_variant = None
+                import warnings
+                warnings.warn(
+                    "mesh decomposes x on a CYCLIC ocean: the halo "
+                    "schedule and the fused Pallas kernel decompose "
+                    "channels over rows only, so stencils fall back "
+                    "to GSPMD auto halos and the kernel turns off. "
+                    "Rows-only meshes (make_mesh(rows_only=True) / "
+                    "qgcm run --mesh rows|auto) are the measured-best "
+                    "channel layout (BENCHMARKS.md 'mesh layout').",
+                    stacklevel=2)
+            else:
+                # box configs keep the explicit schedule + Pallas
+                # kernel on ANY mesh shape: rows-only takes the
+                # measured-best 'overlap' row path, x>1 the 2-D
+                # (y,x) decomposition (parallel/halo.py)
+                halo_variant = "overlap" if any_sharded else None
         self.halo_variant = halo_variant
         self.p = params
         self.outdir = outdir

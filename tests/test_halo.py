@@ -136,6 +136,94 @@ def test_collective_counts():
     assert b_deep == pytest.approx(b_staged * 9 / 5, rel=0.05)
 
 
+MESHES_2D = ((2, 4), (4, 2), (1, 4))
+
+
+def _mesh2(shape):
+    n = shape[0] * shape[1]
+    return Mesh(np.asarray(jax.devices()[:n]).reshape(shape),
+                ("y", "x"))
+
+
+@pytest.mark.parametrize("shape", MESHES_2D)
+@pytest.mark.parametrize("variant", ["deep", "overlap"])
+def test_kernel_bit_exact_2d(shape, variant):
+    """The 2-D (y,x) decomposition must reproduce _qgostep's update
+    BIT-exactly on box configs: ghost columns ride ppermute('x') and
+    corners the two-stage y-then-x exchange, but the per-point
+    arithmetic is the rows-only path's (parallel/halo._chain2)."""
+    model, st, f = _setup(False)
+    _, _, entoc, *_ = _oml(model, st, f)
+    q_ref, _, _ = _qgostep(model, st, f, entoc)
+    q, _, _ = _qgostep_halo(model, st, f, entoc, _mesh2(shape),
+                            variant)
+    assert float(jnp.abs(q_ref - q).max()) == 0.0
+
+
+def test_kernel_2d_cyclic_refused():
+    """Cyclic channels are rows-only by design (x-sharding the
+    duplicated-column wraparound loses; parallel/mesh.make_mesh): the
+    2-D halo path must refuse them loudly, not silently mis-wrap."""
+    model, st, f = _setup(True)
+    _, _, entoc, *_ = _oml(model, st, f)
+    with pytest.raises(ValueError, match="rows"):
+        _qgostep_halo(model, st, f, entoc, _mesh2((2, 4)), "deep")
+
+
+@pytest.mark.parametrize("shape", [(2, 4), (4, 2)])
+@pytest.mark.parametrize("variant", ["deep", "overlap"])
+def test_pallas_in_shard_map_bit_exact_2d(shape, variant):
+    """The fused Pallas kernel running per shard on 2-D ghost-RING
+    windows (x_ext mode: real exchanged ghost columns, wall masks on
+    global (row, col)) must reproduce the full-field kernel
+    bit-exactly -- box configs have no cyclic-wrap reassociation, so
+    the jnp chain comparison is bit-exact too."""
+    from qgcm_tpu.models.ocean import _qgostep_pallas
+    model, st, f = _setup(False)
+    _, _, entoc, *_ = _oml(model, st, f)
+    q_full, _, _ = _qgostep_pallas(model, st, f, entoc)
+    q, _, _ = _qgostep_halo(model, st, f, entoc, _mesh2(shape),
+                            variant, use_pallas=True)
+    assert float(jnp.abs(q_full - q).max()) == 0.0
+    q_ref, _, _ = _qgostep(model, st, f, entoc)
+    assert float(jnp.abs(q_ref - q).max()) == 0.0
+
+
+def test_runner_matches_gspmd_2d():
+    """20 steps through the full runner on a 2-D mesh: the 2-D halo
+    path must agree with the GSPMD path on the SAME mesh to
+    reduction-order tolerance (the sharded spectral solve is compiled
+    separately in each program)."""
+    model, st, f = _setup(False)
+    mesh = _mesh2((2, 4))
+    st_sh, f_sh = shard_tree(st, mesh), shard_tree(f, mesh)
+    ref = make_ocean_only_runner(model, mesh=mesh)(st_sh, f_sh, 20)
+    for variant in ("deep", "overlap"):
+        out = make_ocean_only_runner(model, mesh=mesh,
+                                     halo_variant=variant)(
+            st_sh, f_sh, 20)
+        for name in ("po", "qo", "sst", "dpioc"):
+            a = np.asarray(getattr(ref, name))
+            b = np.asarray(getattr(out, name))
+            scale = np.abs(a).max() + 1e-30
+            assert np.abs(a - b).max() < 1e-12 * scale, (variant, name)
+
+
+def test_collective_counts_2d():
+    """2-D schedule pinned: one width-3 row exchange (2 ppermutes)
+    plus one width-3 column exchange of the row-extended stack
+    (2 ppermutes, corners included) -- 4 per step for both 'deep' and
+    'overlap'."""
+    model, st, f = _setup(False)
+    _, _, entoc, *_ = _oml(model, st, f)
+    mesh = _mesh2((2, 4))
+    for variant in ("deep", "overlap"):
+        fn = jax.jit(functools.partial(_qgostep_halo, model, st, f,
+                                       entoc, mesh, variant))
+        stats = collective_stats(fn)
+        assert stats.counts["collective-permute"] == 4, variant
+
+
 def test_runner_collectives_reduced():
     """Whole-program communication schedule: replacing GSPMD's
     auto-inserted stencil halos with the explicit width-3 exchange must

@@ -110,11 +110,12 @@ def test_matlab_dump_complete_manifest(tmp_path):
 
 
 def test_driver_mesh_default_halo_variant(tmp_path):
-    """Mesh-run default decided by measurement (BENCHMARKS.md): on a
-    rows-decomposed mesh the Driver picks the 'overlap' shard_map halo
-    schedule (51 vs 81 collectives/step vs GSPMD auto, and it keeps
-    the fused Pallas kernel); 2-D meshes fall back to GSPMD; None
-    forces GSPMD."""
+    """Mesh-run default decided by measurement (BENCHMARKS.md): the
+    Driver picks the 'overlap' shard_map halo schedule on any mesh
+    (51 vs 81 collectives/step vs GSPMD auto on rows meshes, and it
+    keeps the fused Pallas kernel; x>1 box meshes take the 2-D
+    decomposition). CYCLIC channels are rows-only by design: x>1
+    falls back to GSPMD with a LOUD warning. None forces GSPMD."""
     import jax
     import numpy as np
     from jax.sharding import Mesh
@@ -138,7 +139,7 @@ def test_driver_mesh_default_halo_variant(tmp_path):
     d = Driver(model, p, str(tmp_path / "a"), mean_forcing=None,
                verbose=False, mesh=rows)
     assert d.halo_variant == "overlap"
-    # 2-D meshes lose the explicit schedule + Pallas kernel: the
+    # CYCLIC + x>1 loses the explicit schedule + Pallas kernel: the
     # fallback must be LOUD, steering users to rows-only meshes
     with pytest.warns(UserWarning, match="rows only"):
         d2 = Driver(model, p, str(tmp_path / "b"), mean_forcing=None,
@@ -147,6 +148,18 @@ def test_driver_mesh_default_halo_variant(tmp_path):
     d3 = Driver(model, p, str(tmp_path / "c"), mean_forcing=None,
                 verbose=False, mesh=rows, halo_variant=None)
     assert d3.halo_variant is None
+    # BOX oceans keep the explicit schedule on 2-D meshes (the 2-D
+    # halo decomposition, parallel/halo.py): no warning, no fallback
+    box = ModelConfig(nxta=24, nyta=24, nxaooc=24, nyaooc=12, ndxr=2,
+                      fnot=5.92e-5, beta=2.08e-11,
+                      ocean_only=True, cyclic_ocean=False)
+    model_box = build_model(box.validate())
+    import warnings as _w
+    with _w.catch_warnings():
+        _w.simplefilter("error")
+        d4 = Driver(model_box, p, str(tmp_path / "d"),
+                    mean_forcing=None, verbose=False, mesh=two_d)
+    assert d4.halo_variant == "overlap"
 
 
 def test_driver_ocean_only(tmp_path):
