@@ -896,3 +896,56 @@ def test_driver_orbax_checkpoint_roundtrip(tmp_path):
         a, b = np.asarray(a), np.asarray(b)
         scale = np.abs(b).max() + 1e-30
         assert np.abs(a - b).max() <= 1e-9 * scale, name
+
+
+def test_driver_orbax_elastic_resume(tmp_path):
+    """Elastic recovery: an Orbax checkpoint written by a 4-device mesh
+    run restores into a DIFFERENT device layout -- a 2-device mesh and
+    a single device -- and both continuations reproduce the
+    uninterrupted control trajectory. (The reference's recovery story
+    is restart.nc into the same single process; resharding on resume
+    is new capability, SURVEY 5.3/5.4.)"""
+    import jax
+    from qgcm_tpu.config import double_gyre_coupled, OceanConfig
+    from qgcm_tpu.run import Driver
+    from qgcm_tpu.model import build_model
+    from qgcm_tpu.parallel.mesh import make_mesh
+    if len(jax.devices()) < 4:
+        pytest.skip("needs >=4 devices")
+    day = 86400.0
+
+    base = double_gyre_coupled(nxta=24, nyta=12, nxaooc=8, nyaooc=8,
+                               ndxr=4, ocean=OceanConfig(dxo=20.0e3))
+    model = build_model(base)
+    mesh4 = make_mesh(jax.devices()[:4], rows_only=True)
+    mesh2 = make_mesh(jax.devices()[:2], rows_only=True)
+
+    pc = RunParams(trun=18 * 180.0 / day / 365.0, dta=180.0, nstr=3,
+                   dxo=20.0e3, valday=0.0, odiday=0.0, adiday=0.0,
+                   dgnday=0.0, prtday=0.0, resday=0.0,
+                   dtavoc=0.0, dtavat=0.0, name="rbal")
+    ctl = Driver(model, pc, str(tmp_path / "ctl"), verbose=False).run()
+
+    p1 = RunParams(trun=12 * 180.0 / day / 365.0, dta=180.0, nstr=3,
+                   dxo=20.0e3, valday=0.0, odiday=0.0, adiday=0.0,
+                   dgnday=0.0, prtday=0.0, resday=0.0,
+                   dtavoc=0.0, dtavat=0.0, name="rbal")
+    r1 = Driver(model, p1, str(tmp_path / "a"), verbose=False,
+                mesh=mesh4, ckpt_format="orbax").run()
+    assert (tmp_path / "a" / "lastday_orbax").is_dir()
+
+    p2 = RunParams(trun=6 * 180.0 / day / 365.0, dta=180.0, nstr=3,
+                   dxo=20.0e3, valday=0.0, odiday=0.0, adiday=0.0,
+                   dgnday=0.0, prtday=0.0, resday=0.0, dtavoc=0.0,
+                   dtavat=0.0,
+                   name=str(tmp_path / "a" / "lastday_orbax"))
+    for tag, mesh in (("b2", mesh2), ("b1", None)):
+        r2 = Driver(model, p2, str(tmp_path / tag), verbose=False,
+                    mesh=mesh, ckpt_format="orbax").run()
+        assert r2.steps_done == 6
+        for name, a, b in (("po", r2.ocean.po, ctl.ocean.po),
+                           ("sst", r2.ocean.sst, ctl.ocean.sst),
+                           ("pa", r2.atmos.pa, ctl.atmos.pa)):
+            a, b = np.asarray(a), np.asarray(b)
+            scale = np.abs(b).max() + 1e-30
+            assert np.abs(a - b).max() <= 1e-9 * scale, (tag, name)
