@@ -231,6 +231,136 @@ def cmd_prepare(args):
     return 0
 
 
+def cmd_ensemble(args):
+    """Perturbed-IC ensemble run (models/ensemble.py, beyond the
+    reference: it runs one trajectory per job): members ride a vmapped
+    batch axis of one jitted program, optionally sharded over all
+    devices with zero collectives; writes the spread time series to
+    ensemble.nc in the case's outdata_ens directory."""
+    import jax
+    import numpy as np
+    from .model import build_model
+    from .models.ocean import (init_ocean_state,
+                               ocean_forcing_from_mean)
+    from .models.atmos import init_atmos_state
+    from .models.ensemble import (perturbed_ocean_members,
+                                  perturbed_atmos_members,
+                                  make_ensemble_runner, ensemble_mesh,
+                                  spread_rms)
+    from .io import read_mean_forcing
+    from .io.restart import load_restart
+    from .io.ncdf import NcWriter
+    from .params import parse_input_params, params_to_config, RunParams
+
+    case = args.case
+    ppath = os.path.join(case, "input.params")
+    params = parse_input_params(ppath) if os.path.exists(ppath) \
+        else RunParams()
+    if params.name not in ("zero", "rbal"):
+        params.name = os.path.normpath(os.path.join(case, params.name))
+    cfg = params_to_config(params, _base_config(args))
+    if cfg.atmos_only:
+        raise SystemExit("qgcm ensemble supports ocean-only and "
+                         "coupled configurations")
+    model = build_model(cfg)
+    outdir = args.outdir or os.path.join(case, "outdata_ens")
+    os.makedirs(outdir, exist_ok=True)
+
+    tini = 0.0
+    at0 = None
+    if params.name in ("zero", "rbal"):
+        oc0 = init_ocean_state(model, init=params.name)
+        if not cfg.ocean_only:
+            at0 = init_atmos_state(model, init=params.name)
+    else:
+        oc0, at0, tini = load_restart(params.name, model)
+
+    m = args.members
+    koc, kat = jax.random.split(jax.random.PRNGKey(args.seed))
+    ocm = perturbed_ocean_members(model, oc0, koc, m, amp=args.amp)
+    kind = "ocean" if cfg.ocean_only else "coupled"
+    atm = None
+    if kind == "coupled":
+        atm = perturbed_atmos_members(model, at0, kat, m,
+                                      amp=10.0 * args.amp)
+    mesh = None
+    if args.shard_members:
+        import math
+        nd = math.gcd(m, len(jax.devices()))
+        mesh = ensemble_mesh(jax.devices()[:nd])
+        print(f"sharding {m} members over {nd} device(s)")
+    run = make_ensemble_runner(model, kind=kind, mesh=mesh)
+
+    forcing = None
+    if cfg.ocean_only:
+        avpath = os.path.join(case, "avges.nc")
+        if os.path.exists(avpath):
+            arrays = read_mean_forcing(avpath)
+        else:
+            from .generators import zero_forcing
+            print("no avges.nc in case dir; using zero mean forcing")
+            arrays = zero_forcing(cfg)
+        forcing = ocean_forcing_from_mean(model, *arrays)
+
+    day = 86400.0
+    # bookkeeping in the runner's own step unit: ocean substeps (dto)
+    # for ocean-only, atmos steps (dta) for coupled (which must
+    # advance in whole coupling cycles)
+    dt = cfg.nstr * cfg.dta if cfg.ocean_only else cfg.dta
+    quantum = 1 if cfg.ocean_only else cfg.nstr
+    total = max(quantum,
+                round(args.days * day / dt / quantum) * quantum)
+    sample = max(quantum,
+                 round(args.sample_days * day / dt / quantum)
+                 * quantum)
+
+    w = NcWriter(os.path.join(outdir, "ensemble.nc"))
+    w.dim("time", None)
+    w.dim("member", m)
+    w.var("tyrs", "d", ("time",), units="years")
+    w.var("spread_po", "d", ("time",), units="m^2/s^2",
+          long_name="RMS ensemble spread of ocean pressure")
+    w.var("spread_sst", "d", ("time",), units="K",
+          long_name="RMS ensemble spread of SST")
+    w.var("po_rms", "d", ("time", "member"), units="m^2/s^2",
+          long_name="per-member RMS ocean pressure")
+    if kind == "coupled":
+        w.var("spread_pa", "d", ("time",), units="m^2/s^2",
+              long_name="RMS ensemble spread of atmos pressure")
+
+    def record(rec, n_done):
+        t = tini + n_done * dt / (day * 365.0)
+        sp = spread_rms(ocm, "po")
+        w.append("tyrs", rec, t)
+        w.append("spread_po", rec, sp)
+        w.append("spread_sst", rec, spread_rms(ocm, "sst"))
+        w.append("po_rms", rec,
+                 np.sqrt(np.mean(np.asarray(ocm.po) ** 2,
+                                 axis=(1, 2, 3))))
+        if atm is not None:
+            w.append("spread_pa", rec, spread_rms(atm, "pa"))
+        if not args.quiet:
+            print(f"t={t:9.5f}y  spread_po={sp:.3e}  "
+                  f"spread_sst={spread_rms(ocm, 'sst'):.3e}")
+        w.flush()
+
+    record(0, 0)
+    n_done, rec = 0, 1
+    while n_done < total:
+        n = min(sample, total - n_done)
+        if kind == "ocean":
+            ocm = run(ocm, forcing, n, n_done)
+        else:
+            ocm, atm = run(ocm, atm, n, n_done)
+        ocm = jax.block_until_ready(ocm)
+        n_done += n
+        record(rec, n_done)
+        rec += 1
+    w.close()
+    print(f"wrote {outdir}/ensemble.nc ({rec} records, {m} members)")
+    return 0
+
+
 def cmd_analyze(args):
     """Energy/diagnostics summary from monit.nc (the checks the Ruby
     layer runs: KE/PE series, constraint errors, CFL), plus the
@@ -391,6 +521,32 @@ def main(argv=None):
     pp.add_argument("--tau0", type=float, default=2.0e-5)
     add_grid(pp)
     pp.set_defaults(fn=cmd_prepare)
+
+    pe = sub.add_parser("ensemble",
+                        help="perturbed-IC ensemble (predictability) "
+                             "run; writes a spread series to "
+                             "ensemble.nc")
+    pe.add_argument("case")
+    pe.add_argument("--members", type=int, default=8)
+    pe.add_argument("--amp", type=float, default=1e-3,
+                    help="RMS ocean pressure perturbation (m^2 s^-2; "
+                         "~0.1 per cm of SSH at mid-latitude f0)")
+    pe.add_argument("--seed", type=int, default=0)
+    pe.add_argument("--days", type=float, default=10.0,
+                    help="run length (days)")
+    pe.add_argument("--sample-days", type=float, default=1.0,
+                    dest="sample_days",
+                    help="spread-series sampling interval (days)")
+    pe.add_argument("--shard-members", action="store_true",
+                    dest="shard_members",
+                    help="shard the member axis over all devices via "
+                         "shard_map (members must be a multiple of "
+                         "the device count; the compiled program has "
+                         "zero collectives)")
+    pe.add_argument("--outdir")
+    pe.add_argument("--quiet", action="store_true")
+    add_grid(pe)
+    pe.set_defaults(fn=cmd_ensemble)
 
     pa = sub.add_parser("analyze", help="summarise a run's monit.nc")
     pa.add_argument("outdata")

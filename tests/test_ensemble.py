@@ -176,3 +176,27 @@ def test_cyclic_perturbation_keeps_inversion_exactness():
         rel = float(jnp.max(jnp.abs(q - s.qo)[:, 1:-1, :])
                     / jnp.max(jnp.abs(s.qo)))
         assert rel < 1e-11, (i, rel)
+
+
+def test_ensemble_cli_end_to_end(tmp_path):
+    """`qgcm ensemble` drives a perturbed-IC run and writes the
+    spread series (ensemble.nc) with growing-from-zero spread."""
+    from scipy.io import netcdf_file
+    from qgcm_tpu.cli import main
+    case = tmp_path / "case"
+    case.mkdir()
+    rc = main(["ensemble", str(case), "--ocean-only",
+               "--nxta", "16", "--nyta", "16", "--nxaooc", "8",
+               "--nyaooc", "8", "--ndxr", "3", "--members", "4",
+               "--amp", "1e-3", "--days", "0.05",
+               "--sample-days", "0.025", "--quiet"])
+    assert rc == 0
+    f = netcdf_file(str(case / "outdata_ens" / "ensemble.nc"),
+                    mmap=False)
+    tyrs = f.variables["tyrs"][:]
+    sp = f.variables["spread_po"][:]
+    prms = f.variables["po_rms"][:]
+    f.close()
+    assert len(tyrs) == 3 and tyrs[-1] > tyrs[0]
+    assert np.all(sp > 0) and np.all(np.isfinite(sp))
+    assert prms.shape == (3, 4) and np.all(np.isfinite(prms))
