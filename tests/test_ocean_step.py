@@ -299,3 +299,68 @@ def test_baroclinic_rossby_wave_dispersion():
     assert omega < 0
     assert abs(omega - omega_ref) < 0.05 * abs(omega_ref), \
         (omega, omega_ref)
+
+
+def test_rossby_wave_dispersion_both_modes():
+    """Quantitative linear-dynamics oracle: a small-amplitude Rossby
+    wave in each vertical mode of an unforced, inviscid cyclic channel
+    propagates westward at the DISCRETE dispersion prediction
+
+        omega = beta * keff / (K2 + 1/Rd_m^2),
+        keff = sin(k dx)/dx,
+        K2   = (4/dx^2)(sin^2(k dx/2) + sin^2(l dx/2)),
+
+    i.e. the linearisation of the Arakawa Jacobian's beta advection
+    against the model's own modal inversion (reference physics:
+    qgosubs.F Jacobian + ocisubs.F modal solve; the mode-m deformation
+    radius enters exactly as eigmode.f's rdm2). Checks phase to 2% on
+    BOTH modes (validating Rd via the baroclinic slowdown) and
+    amplitude conservation to 1e-3 over ~0.7 rad of phase."""
+    cfg = qc.ModelConfig(
+        nxta=24, nyta=24, nxaooc=24, nyaooc=12, ndxr=4,
+        fnot=5.92e-5, beta=2.08e-11, dta=150.0, nstr=3,
+        ocean=qc.OceanConfig(
+            nlo=2, dxo=10e3, delek=0.0, hoc=(800., 3200.),
+            gpoc=(0.01,), tabsoc=(287., 282.),
+            ah2oc=(0., 0.), ah4oc=(0., 0.)),
+        ocean_only=True, cyclic_ocean=True).validate()
+    model = build_model(cfg)
+    nxpo, nypo, dxo = cfg.nxpo, cfg.nypo, cfg.ocean.dxo
+    nxto = cfg.nxto
+    kx, ly = 3, 1
+    k = 2 * np.pi * kx / (nxto * dxo)
+    l = np.pi * ly / ((nypo - 1) * dxo)
+    x = np.arange(nxpo) * dxo
+    y = np.arange(nypo) * dxo
+    wave = 1e-4 * np.sin(l * y)[:, None] * np.cos(k * x)[None, :]
+    cm2l = np.asarray(model.modes_oc.cm2l)
+    cl2m = np.asarray(model.modes_oc.cl2m)
+    rdm2 = np.asarray(model.modes_oc.rdm2)
+    run = make_ocean_only_runner(model)
+    forcing = ocean_forcing_from_mean(model, *zero_forcing(cfg))
+    dto = cfg.nstr * cfg.dta
+    n = 1600
+
+    keff = np.sin(k * dxo) / dxo
+    K2 = (4 / dxo**2) * (np.sin(k * dxo / 2)**2
+                         + np.sin(l * dxo / 2)**2)
+    # each leapfrog time-level averaging (every 25 substeps,
+    # x <- (x+xm)/2) retards the phase by omega*dto/2
+    n_avg = len(range(0, n, 25))
+    t_eff = (n - 0.5 * n_avg) * dto
+
+    for m in range(2):
+        po = np.einsum("k,yx->kyx", cm2l[:, m], wave)
+        st = init_ocean_state(model, po=po)
+        out = run(st, forcing, n)
+
+        def mode_amp(s):
+            pm = np.einsum("k,kyx->yx", cl2m[m, :], np.asarray(s.po))
+            return np.fft.rfft(pm[nypo // 2, :nxto])[kx]
+
+        a0, a1 = mode_amp(st), mode_amp(out)
+        dphi = np.angle(a1 / a0)
+        dphi_pred = cfg.beta * keff / (K2 + rdm2[m]) * t_eff
+        assert dphi > 0, f"mode {m} moved east"
+        assert abs(dphi / dphi_pred - 1) < 0.02, (m, dphi, dphi_pred)
+        assert abs(abs(a1) / abs(a0) - 1) < 1e-3, (m, abs(a1 / a0))
