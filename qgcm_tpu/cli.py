@@ -369,6 +369,29 @@ def cmd_analyze(args):
     chain (outdata, outdata_r2, ...) into <case>/outdata_unified/
     (the Ruby prep workflow, qgcm_prep_k247.rb:5-12)."""
     from scipy.io import netcdf_file
+    enspath = os.path.join(args.outdata, "ensemble.nc")
+    if os.path.exists(enspath) and not os.path.exists(
+            os.path.join(args.outdata, "monit.nc")):
+        # a `qgcm ensemble` output directory: summarize the spread
+        # series (growth rate via a log-linear fit over the growing
+        # part of the curve -> e-folding/doubling time)
+        import numpy as np
+        f = netcdf_file(enspath, mmap=False)
+        tyrs = np.asarray(f.variables["tyrs"][:], dtype=float)
+        sp = np.asarray(f.variables["spread_po"][:], dtype=float)
+        nm = f.dimensions["member"]
+        f.close()
+        print(f"ensemble.nc: {nm} members, {len(tyrs)} records, "
+              f"{(tyrs[-1] - tyrs[0]) * 365.0:.2f} days")
+        print(f"spread_po: {sp[0]:.3e} -> {sp[-1]:.3e} m^2/s^2")
+        grow = (sp > 0) & (tyrs >= tyrs[0])
+        if grow.sum() >= 3 and sp[-1] > sp[0]:
+            days = (tyrs[grow] - tyrs[0]) * 365.0
+            rate = np.polyfit(days, np.log(sp[grow]), 1)[0]  # 1/day
+            if rate > 0:
+                print(f"e-folding time {1.0 / rate:.2f} days "
+                      f"(doubling {np.log(2.0) / rate:.2f} days)")
+        return 0
     if getattr(args, "chain", False):
         import shutil
         from .analysis import unify_monit

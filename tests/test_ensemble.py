@@ -200,3 +200,5 @@ def test_ensemble_cli_end_to_end(tmp_path):
     assert len(tyrs) == 3 and tyrs[-1] > tyrs[0]
     assert np.all(sp > 0) and np.all(np.isfinite(sp))
     assert prms.shape == (3, 4) and np.all(np.isfinite(prms))
+    # qgcm analyze recognises an ensemble output directory
+    assert main(["analyze", str(case / "outdata_ens")]) == 0
