@@ -238,7 +238,6 @@ def cmd_ensemble(args):
     devices with zero collectives; writes the spread time series to
     ensemble.nc in the case's outdata_ens directory."""
     import jax
-    import numpy as np
     from .model import build_model
     from .models.ocean import (init_ocean_state,
                                ocean_forcing_from_mean)
@@ -375,7 +374,6 @@ def cmd_analyze(args):
         # a `qgcm ensemble` output directory: summarize the spread
         # series (growth rate via a log-linear fit over the growing
         # part of the curve -> e-folding/doubling time)
-        import numpy as np
         f = netcdf_file(enspath, mmap=False)
         tyrs = np.asarray(f.variables["tyrs"][:], dtype=float)
         sp = np.asarray(f.variables["spread_po"][:], dtype=float)
