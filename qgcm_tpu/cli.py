@@ -62,15 +62,11 @@ def _base_config(args):
     return cfg.validate()
 
 
-def cmd_run(args):
-    from .params import parse_input_params, RunParams
-    from .run import run_case
-    from .io import read_mean_forcing, read_mean_sst
-
-    # Persistent XLA compilation cache: the jitted chunk program is
-    # large (minutes to compile on a remote TPU backend) and identical
-    # across runs of the same configuration, so cache it on disk unless
-    # the user already configured a cache location.
+def _enable_xla_cache():
+    """Persistent XLA compilation cache: the jitted chunk programs are
+    large (minutes to compile on a remote TPU backend) and identical
+    across runs of the same configuration, so cache them on disk unless
+    the user already configured a cache location."""
     if "JAX_COMPILATION_CACHE_DIR" not in os.environ:
         import jax
         if jax.config.jax_compilation_cache_dir is None:
@@ -79,6 +75,14 @@ def cmd_run(args):
             jax.config.update("jax_compilation_cache_dir", cache)
             jax.config.update(
                 "jax_persistent_cache_min_compile_time_secs", 2.0)
+
+
+def cmd_run(args):
+    from .params import parse_input_params, RunParams
+    from .run import run_case
+    from .io import read_mean_forcing, read_mean_sst
+
+    _enable_xla_cache()
 
     case = args.case
     ppath = os.path.join(case, "input.params")
@@ -241,6 +245,7 @@ def cmd_ensemble(args):
     from .model import build_model
     from .models.ocean import (init_ocean_state,
                                ocean_forcing_from_mean)
+    _enable_xla_cache()
     from .models.atmos import init_atmos_state
     from .models.ensemble import (perturbed_ocean_members,
                                   perturbed_atmos_members,
@@ -271,6 +276,12 @@ def cmd_ensemble(args):
         oc0 = init_ocean_state(model, init=params.name)
         if not cfg.ocean_only:
             at0 = init_atmos_state(model, init=params.name)
+    elif os.path.isdir(params.name):
+        # Orbax checkpoint directory (same dispatch as the Driver,
+        # run.py _initial_state)
+        from .io.orbax_ckpt import load_checkpoint
+        oc0, at0, tini = load_checkpoint(
+            os.path.abspath(params.name), model)
     else:
         oc0, at0, tini = load_restart(params.name, model)
 
@@ -285,7 +296,16 @@ def cmd_ensemble(args):
     mesh = None
     if args.shard_members:
         import math
-        nd = math.gcd(m, len(jax.devices()))
+        ndev = len(jax.devices())
+        nd = math.gcd(m, ndev)
+        if nd == 1 and ndev > 1:
+            raise SystemExit(
+                f"--shard-members: {m} members share no factor with "
+                f"{ndev} devices -- pick a member count that is a "
+                f"multiple of the device count")
+        if nd < ndev:
+            print(f"warning: {m} members is not a multiple of {ndev} "
+                  f"devices; sharding over only {nd} device(s)")
         mesh = ensemble_mesh(jax.devices()[:nd])
         print(f"sharding {m} members over {nd} device(s)")
     run = make_ensemble_runner(model, kind=kind, mesh=mesh)
@@ -307,11 +327,13 @@ def cmd_ensemble(args):
     # advance in whole coupling cycles)
     dt = cfg.nstr * cfg.dta if cfg.ocean_only else cfg.dta
     quantum = 1 if cfg.ocean_only else cfg.nstr
-    total = max(quantum,
-                round(args.days * day / dt / quantum) * quantum)
     sample = max(quantum,
                  round(args.sample_days * day / dt / quantum)
                  * quantum)
+    # run length rounds to whole sampling intervals: a shorter final
+    # chunk would change the jit-static n_steps and force a second
+    # full compile of the ensemble program for one short segment
+    total = max(sample, round(args.days * day / dt / sample) * sample)
 
     w = NcWriter(os.path.join(outdir, "ensemble.nc"))
     w.dim("time", None)
@@ -327,20 +349,23 @@ def cmd_ensemble(args):
         w.var("spread_pa", "d", ("time",), units="m^2/s^2",
               long_name="RMS ensemble spread of atmos pressure")
 
+    import jax.numpy as jnp
+
     def record(rec, n_done):
         t = tini + n_done * dt / (day * 365.0)
         sp = spread_rms(ocm, "po")
+        sst_sp = spread_rms(ocm, "sst")
         w.append("tyrs", rec, t)
         w.append("spread_po", rec, sp)
-        w.append("spread_sst", rec, spread_rms(ocm, "sst"))
-        w.append("po_rms", rec,
-                 np.sqrt(np.mean(np.asarray(ocm.po) ** 2,
-                                 axis=(1, 2, 3))))
+        w.append("spread_sst", rec, sst_sp)
+        # per-member RMS reduced on device; one (m,) vector fetched
+        w.append("po_rms", rec, np.asarray(jnp.sqrt(
+            jnp.mean(jnp.square(ocm.po), axis=(1, 2, 3)))))
         if atm is not None:
             w.append("spread_pa", rec, spread_rms(atm, "pa"))
         if not args.quiet:
             print(f"t={t:9.5f}y  spread_po={sp:.3e}  "
-                  f"spread_sst={spread_rms(ocm, 'sst'):.3e}")
+                  f"spread_sst={sst_sp:.3e}")
         w.flush()
 
     record(0, 0)
@@ -382,13 +407,19 @@ def cmd_analyze(args):
         print(f"ensemble.nc: {nm} members, {len(tyrs)} records, "
               f"{(tyrs[-1] - tyrs[0]) * 365.0:.2f} days")
         print(f"spread_po: {sp[0]:.3e} -> {sp[-1]:.3e} m^2/s^2")
-        grow = (sp > 0) & (tyrs >= tyrs[0])
-        if grow.sum() >= 3 and sp[-1] > sp[0]:
-            days = (tyrs[grow] - tyrs[0]) * 365.0
-            rate = np.polyfit(days, np.log(sp[grow]), 1)[0]  # 1/day
+        # fit the growth rate over the pre-saturation segment only:
+        # records past ~70% of the peak spread sit on the plateau and
+        # bias the fitted e-folding time long
+        onset = np.nonzero(sp >= 0.7 * sp.max())[0]
+        end = max(int(onset[0]) if len(onset) else len(sp), 3)
+        seg = (sp[:end] > 0)
+        if seg.sum() >= 3 and sp[-1] > sp[0] > 0:
+            days = (tyrs[:end][seg] - tyrs[0]) * 365.0
+            rate = np.polyfit(days, np.log(sp[:end][seg]), 1)[0]
             if rate > 0:
                 print(f"e-folding time {1.0 / rate:.2f} days "
-                      f"(doubling {np.log(2.0) / rate:.2f} days)")
+                      f"(doubling {np.log(2.0) / rate:.2f} days, "
+                      f"fit over the first {end} records)")
         return 0
     if getattr(args, "chain", False):
         import shutil

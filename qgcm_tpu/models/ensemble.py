@@ -75,9 +75,10 @@ def ensemble_std(states):
 
 def spread_rms(states, field: str = "po") -> float:
     """Scalar RMS ensemble spread of one state field -- the usual
-    predictability-experiment summary curve."""
+    predictability-experiment summary curve. (Reduces only the named
+    field on device; one scalar comes to the host.)"""
     return float(jnp.sqrt(jnp.mean(
-        jnp.square(getattr(ensemble_std(states), field)))))
+        jnp.square(jnp.std(getattr(states, field), axis=0)))))
 
 
 # ----------------------------------------------------------------- #
@@ -204,7 +205,8 @@ def make_ensemble_runner(model: Model, kind: str = None,
 
     kind: "ocean" (ocean-only; default when cfg.ocean_only) or
     "coupled". mesh: optional 1-D member mesh from ensemble_mesh();
-    member count must divide the device count. The member axis is
+    the member count must be a multiple of the mesh's device count
+    (each device steps an equal block of members). The member axis is
     sharded with `shard_map` -- each device steps its own block of
     members with LOCAL shapes, so the compiled program has no
     collectives at all (GSPMD sharding alone would not: XLA's SPMD
