@@ -35,7 +35,7 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import Mesh, PartitionSpec as P
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..model import Model
 from ..state import OceanState, AtmosState
@@ -187,6 +187,17 @@ def ensemble_mesh(devices=None, axis: str = "member") -> Mesh:
     """1-D mesh whose single axis shards the member dimension."""
     devices = list(jax.devices()) if devices is None else list(devices)
     return Mesh(np.array(devices), (axis,))
+
+
+def shard_members(members, mesh: Mesh):
+    """Place a stacked ensemble on a member mesh: each device (and in
+    a multi-controller run, each process) stores only its own members'
+    shards. Every process must hold the same full host value -- true
+    for perturbed_*_members, which are deterministic in the key."""
+    ax = mesh.axis_names[0]
+    spec = NamedSharding(mesh, P(ax))
+    return jax.tree.map(
+        lambda x: jax.device_put(jnp.asarray(x), spec), members)
 
 
 def _check_divisible(members, mesh: Mesh):

@@ -101,6 +101,7 @@ def main():
         assert len(jax.local_devices()) == 4
 
         model, st, f = build()
+        st0, f0 = st, f           # host copies for the ensemble below
         # DCN-aware placement: hosts split 'y', local devices fill 'x'
         # (parallel/mesh.make_hybrid_mesh), and the PV inversion goes
         # through the explicit all_to_all pencil solvers.
@@ -125,7 +126,27 @@ def main():
                                        spectral_variant="a2a")(oc, at, 6)
         assert len(oc2.sst.addressable_shards) < len(jax.devices())
 
+        # multi-HOST ensemble: 8 perturbed members sharded over the
+        # global 8-device member mesh (4 members' shards per process);
+        # the compiled program is collective-free, so this is the
+        # scale-out path for predictability runs
+        from qgcm_tpu.models.ensemble import (
+            perturbed_ocean_members, make_ensemble_runner,
+            ensemble_mesh, shard_members)
+        members = perturbed_ocean_members(
+            model, st0, jax.random.PRNGKey(11), 8, amp=1e-3)
+        emesh = ensemble_mesh()
+        ens = make_ensemble_runner(model, kind="ocean", mesh=emesh)(
+            shard_members(members, emesh), f0, 12)
+        ens_scalars = jax.jit(lambda ms: {
+            "ens_po_l2": jnp.sum(ms.po ** 2),
+            "ens_spread": jnp.sqrt(jnp.mean(
+                jnp.square(jnp.std(ms.po, axis=0)))),
+        })(ens)
+
         vals = {k: float(v) for k, v in scalars(out).items()}
+        vals.update({k: float(v) for k, v in ens_scalars.items()})
+        vals["ens_local_shards"] = len(ens.po.addressable_shards)
         vals.update({k: float(v) for k, v in
                      coupled_scalars(oc2, at2).items()})
         vals["primary"] = is_primary()

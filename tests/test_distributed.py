@@ -47,12 +47,15 @@ def test_two_process_distributed_run(tmp_path):
     # runner AND the coupled cycle: xforc + both fluids distributed)
     for k in ("po_l2", "po_max", "qo_l2", "sst_sum", "dpioc",
               "cpl_po_l2", "cpl_sst_sum", "cpl_pa_l2", "cpl_ast_sum",
-              "cpl_hmixa_max"):
+              "cpl_hmixa_max", "ens_po_l2", "ens_spread"):
         assert vals[0][k] == vals[1][k], k
 
     # the state was genuinely distributed: 4 local shards of 8 devices
     assert vals[0]["n_local_shards"] == 4
     assert vals[1]["n_local_shards"] == 4
+    # the ensemble too: each process stores 4 of the 8 members
+    assert vals[0]["ens_local_shards"] == 4
+    assert vals[1]["ens_local_shards"] == 4
 
     # is_primary() guard: exactly process 0, exactly one marker
     assert vals[0]["primary"] is True
@@ -74,7 +77,21 @@ def test_two_process_distributed_run(tmp_path):
     oc2, at2 = make_coupled_runner(cmodel)(oc, at, 6)
     refs.update({k: float(v) for k, v in
                  w.coupled_scalars(oc2, at2).items()})
+    # single-process reference for the multi-host ensemble: the same
+    # members (deterministic in the key) through the plain vmapped
+    # runner on the in-pytest 8-virtual-device world
+    import jax
+    import jax.numpy as jnp
+    from qgcm_tpu.models.ensemble import (perturbed_ocean_members,
+                                          make_ensemble_runner)
+    members = perturbed_ocean_members(model, st,
+                                      jax.random.PRNGKey(11), 8,
+                                      amp=1e-3)
+    ens = make_ensemble_runner(model, kind="ocean")(members, f, 12)
+    refs["ens_po_l2"] = float(jnp.sum(ens.po ** 2))
+    refs["ens_spread"] = float(jnp.sqrt(jnp.mean(
+        jnp.square(jnp.std(ens.po, axis=0)))))
     for k in ("po_l2", "po_max", "qo_l2", "sst_sum", "dpioc",
               "cpl_po_l2", "cpl_sst_sum", "cpl_pa_l2", "cpl_ast_sum",
-              "cpl_hmixa_max"):
+              "cpl_hmixa_max", "ens_po_l2", "ens_spread"):
         assert abs(vals[0][k] - refs[k]) <= 1e-11 * (abs(refs[k]) + 1e-30), k
