@@ -125,7 +125,14 @@ def perturbed_ocean_members(model: Model, base: OceanState, key,
     same smooth windowed field is added to po AND pom, then PV and the
     mass/momentum constraint scalars are re-derived per member via
     init_ocean_state -- the same derivation a restart performs. With
-    keep_first, member 0 is `base` itself (the control member)."""
+    keep_first, member 0 is `base` itself (the control member).
+
+    The model config must carry some dissipation range (nonzero ah4oc
+    or bottom drag): the injected noise is broadband, and in a fully
+    inviscid setup (the energy-conservation oracle configs) its
+    enstrophy cascade piles up at the grid scale with nowhere to go --
+    a 60-day inviscid k247 ensemble measured healthy spread saturation
+    for ~55 days and then blew up to NaN."""
     keys = jax.random.split(key, m)
     win = _boundary_window(model.cfg)
     members = []
@@ -234,6 +241,17 @@ def make_ensemble_runner(model: Model, kind: str = None,
     if kind is None:
         kind = "ocean" if model.cfg.ocean_only else "coupled"
     ax = mesh.axis_names[0] if mesh is not None else None
+    from ..config import pallas_enabled
+    if pallas_enabled(model.cfg):
+        # the fused Pallas vorticity kernel cannot ride the member
+        # vmap: pallas_call's automatic batching faults Mosaic at
+        # production widths (961-wide rows measured a TPU kernel fault
+        # and, before that, silently corrupted member trajectories).
+        # Members use the jnp stencil chain -- XLA fuses it well and
+        # the batch amortises any loss.
+        import dataclasses
+        model = dataclasses.replace(
+            model, cfg=model.cfg.replace(use_pallas=False))
 
     if kind == "ocean":
         run1 = make_ocean_only_runner(model, jit=False)
