@@ -243,12 +243,15 @@ def make_ensemble_runner(model: Model, kind: str = None,
     ax = mesh.axis_names[0] if mesh is not None else None
     from ..config import pallas_enabled
     if pallas_enabled(model.cfg):
-        # the fused Pallas vorticity kernel cannot ride the member
-        # vmap: pallas_call's automatic batching faults Mosaic at
-        # production widths (961-wide rows measured a TPU kernel fault
-        # and, before that, silently corrupted member trajectories).
-        # Members use the jnp stencil chain -- XLA fuses it well and
-        # the batch amortises any loss.
+        # Throughput choice (and defence-in-depth): the fused Pallas
+        # kernel now carries a sequential_vmap fence at its own
+        # boundary (ops/pallas_qg.py) -- a member vmap over it is
+        # CORRECT but runs one kernel launch per member serially,
+        # because pallas_call's automatic batching rule miscompiled on
+        # Mosaic (faulted at 961-wide rows; silently corrupted member
+        # trajectories before that). The jnp stencil chain batches
+        # properly under XLA (1.13x over a per-member loop at 961^2,
+        # BENCHMARKS.md round 4), so members use it.
         import dataclasses
         model = dataclasses.replace(
             model, cfg=model.cfg.replace(use_pallas=False))

@@ -274,7 +274,7 @@ def qgstep_pallas(pom, po, qo, qom, wekpo, entoc, r_spl, consts,
     with x64_scope:
         goff = jnp.stack([jnp.asarray(row0, jnp.int32),
                           jnp.asarray(col0, jnp.int32)])
-        out = pl.pallas_call(
+        call = pl.pallas_call(
         kernel,
         grid=(nl, nty),
         in_specs=[
@@ -315,8 +315,21 @@ def qgstep_pallas(pom, po, qo, qom, wekpo, entoc, r_spl, consts,
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=100 * 1024 * 1024),
             interpret=interpret,
-        )(goff, pom, po, qo, pom_e, po_e, qo_e, qom, wekpo, entoc,
-          rspl)
+        )
+        # vmap FENCE: pallas_call's automatic batching rule is broken
+        # for this kernel on Mosaic -- at production widths (961-wide
+        # rows) it SILENTLY CORRUPTED batched member trajectories and
+        # later faulted the TPU kernel outright (commit 74f558c). Any
+        # jax.vmap over this function must therefore never reach that
+        # rule: sequential_vmap lowers a batched call to a lax.map
+        # over the batch axis, one correct full-width kernel launch
+        # per element. Correct but serial -- batched throughput work
+        # should prefer the jnp stencil chain (models/ensemble.py
+        # keeps use_pallas=False: batched-XLA measured 1.13x over a
+        # per-member loop at 961^2, BENCHMARKS.md round 4).
+        call = jax.custom_batching.sequential_vmap(call)
+        out = call(goff, pom, po, qo, pom_e, po_e, qo_e, qom, wekpo,
+                   entoc, rspl)
 
     return out
 

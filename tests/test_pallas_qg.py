@@ -1,6 +1,8 @@
 """Fused Pallas QG-step kernel vs the jnp reference operators
 (interpreter mode on CPU; the same code path runs compiled on TPU)."""
 
+import jax
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -68,6 +70,34 @@ def test_pallas_full_step_consistency():
         a = np.asarray(getattr(st1, name))
         b = np.asarray(getattr(st2, name))
         assert np.abs(a - b).max() < 1e-11 * (np.abs(a).max() + 1e-30), name
+
+
+@pytest.mark.parametrize("cyclic", [(False), (True)])
+def test_pallas_vmap_fence(cyclic):
+    """jax.vmap over the Pallas path must equal a per-member loop
+    BIT-EXACTLY. pallas_call's automatic batching rule silently
+    corrupted batched member trajectories at production widths (961-
+    wide rows) before faulting Mosaic outright (commit 74f558c), so
+    qgstep_pallas carries a sequential_vmap fence at the kernel
+    boundary: any vmap lowers to one correct full-width launch per
+    batch element and can never reach Mosaic's broken auto-batching.
+    This pins the fence for ANY user vmap, not just the ensemble
+    runner's own use_pallas=False defence (models/ensemble.py)."""
+    model, st, f, entoc = _setup(cyclic, sponge=cyclic)
+    model_p = model.__class__(**{**model.__dict__,
+                                 "cfg": model.cfg.replace(use_pallas=True)})
+    sts = jax.tree.map(lambda x: jnp.stack([x, 1.01 * x, 0.99 * x]), st)
+    q_b, qm_b, cyc_b = jax.vmap(
+        lambda s: _qgostep(model_p, s, f, entoc))(sts)
+    for i in range(3):
+        si = jax.tree.map(lambda x: x[i], sts)
+        q_i, qm_i, cyc_i = _qgostep(model_p, si, f, entoc)
+        assert np.array_equal(np.asarray(q_b[i]), np.asarray(q_i)), i
+        assert np.array_equal(np.asarray(qm_b[i]), np.asarray(qm_i)), i
+        if cyclic:
+            for key in cyc_i:
+                assert np.array_equal(np.asarray(cyc_b[key][i]),
+                                      np.asarray(cyc_i[key])), (i, key)
 
 
 @pytest.mark.parametrize("cyclic", [False, True])
