@@ -180,7 +180,8 @@ def cmd_run(args):
                    qoc_diag=args.qoc_diag, ocavg_days=args.ocavg_days,
                    profile_dir=args.profile, mesh=mesh,
                    cadence_rounding="exact" if args.exact_cadences
-                   else "cycles", ckpt_format=args.ckpt_format)
+                   else "cycles", ckpt_format=args.ckpt_format,
+                   avges_sampling=args.avges_sampling)
     print(f"done: {res.steps_done} steps, t={res.tyrs:.4f} years"
           + (" [ABORTED ON VALIDITY FAILURE]" if res.aborted else ""))
     return 1 if res.aborted else 0
@@ -228,6 +229,9 @@ def cmd_prepare(args):
 
     if args.forcing == "zero":
         f = zero_forcing(cfg)
+    elif args.forcing == "channel":
+        from .generators import channel_windstress
+        f = channel_windstress(cfg, model.grids, tau0=args.tau0)
     else:
         f = double_gyre_windstress(cfg, model.grids, tau0=args.tau0)
     write_mean_forcing(os.path.join(args.case, "avges.nc"), model, *f)
@@ -548,6 +552,13 @@ def main(argv=None):
                     "host); 'orbax' = sharded checkpoint directories "
                     "where each process writes its own shards (the "
                     "at-scale multi-host path)")
+    pr.add_argument("--avges-sampling", choices=["mean", "midpoint"],
+                    default="mean", dest="avges_sampling",
+                    help="avges.nc accumulation: 'mean' (default) = "
+                    "true time means over every step; 'midpoint' = "
+                    "the reference's one-sample-per-interval midpoint "
+                    "subsampling (q-gcm.F:1477-1482), for bit-"
+                    "comparable avges output")
     pr.add_argument("--exact-cadences", action="store_true",
                     dest="exact_cadences",
                     help="honour cadences at any whole atmospheric "
@@ -568,7 +579,8 @@ def main(argv=None):
     icgrp.add_argument("--modon", action="store_true",
                        help="Larichev-Reznik modon initial condition")
     pp.add_argument("--eddy-scale", type=float, default=80.0e3)
-    pp.add_argument("--forcing", choices=["zero", "double-gyre"],
+    pp.add_argument("--forcing",
+                    choices=["zero", "double-gyre", "channel"],
                     default="zero")
     pp.add_argument("--tau0", type=float, default=2.0e-5)
     add_grid(pp)

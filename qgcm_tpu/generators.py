@@ -75,6 +75,31 @@ def double_gyre_windstress(cfg: ModelConfig, grids: Grids,
     return tauxo, tauyo, fnetoc
 
 
+def channel_windstress(cfg: ModelConfig, grids: Grids,
+                       tau0: float = 2.0e-5,
+                       wall_frac: float = 0.25, asym: float = 0.5):
+    """Zonal westerly jet for forced CYCLIC-channel runs (Southern
+    Ocean style): tau_x(y) = tau0*(w(y) + (1-wall_frac) *
+    sin^2(pi*y/L)), tau_y = 0 -- an ACC-like stress maximum at
+    mid-channel.  The stress is deliberately NONZERO at the channel
+    walls (w = wall_frac*(1 +- asym/2), linearly blended) AND
+    DIFFERENT at the two walls, so the boundary stress integrals
+    txis/txin (reference src/xfosubs.F:568-707) independently force
+    the southern and northern leapfrogged momentum constraints
+    (src/ocisubs.F:169-327) -- the machinery a forced-channel
+    production run exists to validate.  x-uniform, hence exactly
+    cyclic.  tau0 is kinematic stress in m^2 s^-2 (2e-5 ~ 0.02 N m^-2
+    over seawater)."""
+    yrel = (grids.ypo - grids.ypo[0]) / grids.ylo
+    wall = wall_frac * (1.0 + asym * (0.5 - yrel))
+    taux = tau0 * (wall
+                   + (1.0 - wall_frac) * np.sin(np.pi * yrel) ** 2)
+    tauxo = np.broadcast_to(taux[:, None], (cfg.nypo, cfg.nxpo)).copy()
+    tauyo = np.zeros((cfg.nypo, cfg.nxpo))
+    fnetoc = np.zeros((cfg.nyto, cfg.nxto))
+    return tauxo, tauyo, fnetoc
+
+
 def modon_pressure(cfg: ModelConfig, rdef: float,
                    a: float = 4.0, q: float = 10.0, k: float = 4.6985):
     """Larichev-Reznik modon (dipole) initial pressure for layer 1

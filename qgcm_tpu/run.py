@@ -93,7 +93,8 @@ class Driver:
                  mesh=None, spectral_variant: str = "a2a",
                  halo_variant: str = "auto",
                  cadence_rounding: str = "cycles",
-                 ckpt_format: str = "netcdf"):
+                 ckpt_format: str = "netcdf",
+                 avges_sampling: str = "mean"):
         """mesh: optional jax.sharding.Mesh ('y','x') for multi-chip
         runs -- the physics chunk carries 2-D spatial shardings and,
         with spectral_variant='a2a' (default), routes the PV-inversion
@@ -128,7 +129,17 @@ class Driver:
         at NAtl size is ~1.2 GB gathered). Resume accepts either: a
         directory path in input.params' name field loads an Orbax
         checkpoint (restored directly into the run's mesh sharding),
-        a file loads restart.nc."""
+        a file loads restart.nc.
+
+        avges_sampling: "mean" (default) accumulates the avges.nc
+        running means EVERY (sub)step -- true time means, a documented
+        departure (PARITY.md row 29). "midpoint" reproduces the
+        reference exactly: ONE sample per averaging interval, taken at
+        the interval's midpoint step nmid = ntav/2 on the relative
+        ntdone grid (q-gcm.F:674-694 ntav/nmid setup, :1477-1482
+        mod(ntdone,ntav).eq.nmid sampling). The reference requires an
+        even whole-cycle interval; with cadence_rounding="cycles" that
+        holds whenever nint(dtav*secday/dto) is even."""
         cfg = model.cfg
         self.model = model
         self.mesh = mesh
@@ -179,6 +190,10 @@ class Driver:
             raise ValueError("ckpt_format must be 'netcdf' or "
                              f"'orbax', got {ckpt_format!r}")
         self.ckpt_format = ckpt_format
+        if avges_sampling not in ("mean", "midpoint"):
+            raise ValueError("avges_sampling must be 'mean' or "
+                             f"'midpoint', got {avges_sampling!r}")
+        self.avges_sampling = avges_sampling
 
         def steps(days, what=""):
             """Cadence in atmospheric steps.  Default ("cycles"): the
@@ -221,6 +236,17 @@ class Driver:
         self.nrestart = steps(p.resday, "resday")
         self.ntavoc = steps(p.dtavoc, "dtavoc")
         self.ntavat = steps(p.dtavat, "dtavat")
+        if avges_sampling == "midpoint":
+            # the reference hard-stops on an odd interval ("Unsuitable
+            # choice of dtavat/dtavoc", q-gcm.F:679-694): the midpoint
+            # step ntav/2 must be whole
+            for nm, ntav in (("dtavoc", self.ntavoc),
+                             ("dtavat", self.ntavat)):
+                if ntav % 2:
+                    raise ValueError(
+                        f"avges_sampling='midpoint' needs an even "
+                        f"number of steps per averaging interval; "
+                        f"{nm} gives {ntav} (q-gcm.F:679-694)")
         self.ncovoc = steps(p.dtcovoc, "dtcovoc")
         self.ncovat = steps(p.dtcovat, "dtcovat")
         self.nocavg = steps(ocavg_days, "ocavg_days")
@@ -315,22 +341,53 @@ class Driver:
             # mesh-aware layout: no collective above coarse-atmos size
             xforc = make_xforc(model, mesh=mesh)
 
-        def atmos_seg(at, aacc, afor, n0, length):
+        # avges sampling: "mean" accumulates every (sub)step; the
+        # reference-parity "midpoint" mode accumulates ONE sample per
+        # averaging interval at its midpoint step on the relative
+        # ntdone grid (mod(ntdone,ntav).eq.nmid, q-gcm.F:1477-1482
+        # with nmid = ntav/2, :683/:694)
+        midpoint = self.avges_sampling == "midpoint"
+        nmidat = self.ntavat // 2
+        nmidoc = self.ntavoc // 2
+
+        def acc_at(aacc, at2, afor, ntdone):
+            if not (midpoint and self.ntavat):
+                return accumulate_atmos(aacc, at2, afor, model)
+            return jax.lax.cond(
+                ntdone % self.ntavat == nmidat,
+                lambda a: accumulate_atmos(a, at2, afor, model),
+                lambda a: a, aacc)
+
+        def acc_oc(oacc, oc, ofor, rel_n):
+            if not (midpoint and self.ntavoc):
+                return accumulate_ocean(oacc, oc, ofor, model)
+            # the ocean state/forcing sampled by tavocn at the (atmos-
+            # step) midpoint ntdone are the ones set at the head of the
+            # coupling cycle CONTAINING that step (the ocean substep
+            # runs only at mod(nt,nstr)==1, q-gcm.F:1222); this head
+            # covers ntdone in [rel_n+1, rel_n+nstr]
+            hit = ((rel_n + nstr) - nmidoc) % self.ntavoc < nstr
+            return jax.lax.cond(
+                hit, lambda a: accumulate_ocean(a, oc, ofor, model),
+                lambda a: a, oacc)
+
+        def atmos_seg(at, aacc, afor, n0, length, step0):
             """`length` (static) atmospheric steps from global atmos
-            step index n0 (dynamic, 0-based)."""
+            step index n0 (dynamic, 0-based; step0 = nsteps0 puts the
+            cadence predicates on the relative ntdone grid)."""
             def abody(carry2, i):
                 at2, aacc2 = carry2
                 at2, _ = astep(at2, afor)
                 at2 = jax.lax.cond(
                     (n0 + i) % ATMOS_AVG_PERIOD == 0,
                     average_atmos_levels, lambda s: s, at2)
-                aacc2 = accumulate_atmos(aacc2, at2, afor, model)
+                aacc2 = acc_at(aacc2, at2, afor, n0 + i + 1 - step0)
                 return (at2, aacc2), None
             (at, aacc), _ = jax.lax.scan(
                 abody, (at, aacc), jnp.arange(length))
             return at, aacc
 
-        def cycle_start(oc, at, ofor, afor, oacc, n):
+        def cycle_start(oc, at, ofor, afor, oacc, n, step0):
             """Coupling-cycle head: forcing + ocean substep (the
             reference's mod(nt,nstr)==1 block, q-gcm.F:1222-1249),
             entered only when n % nstr == 0."""
@@ -338,10 +395,10 @@ class Driver:
                 ofor, afor, _ = xforc(at.pam, oc.pom, oc.sstm,
                                       at.astm, at.hmixam)
                 oc, _ = ostep(oc, ofor)
-                oacc = accumulate_ocean(oacc, oc, ofor, model)
+                oacc = acc_oc(oacc, oc, ofor, n - step0)
             elif has_oc:                     # ocean only (static ofor)
                 oc, _ = ostep(oc, ofor)
-                oacc = accumulate_ocean(oacc, oc, ofor, model)
+                oacc = acc_oc(oacc, oc, ofor, n - step0)
             elif has_at:                     # atmos only
                 _, afor, _ = xforc(at.pam, None, self.sst_mean,
                                    at.astm, at.hmixam)
@@ -359,7 +416,7 @@ class Driver:
                     at = constrain(at, mesh)
             return oc, at
 
-        def chunk_fn(carry, n_steps, phase):
+        def chunk_fn(carry, n_steps, phase, step0):
             # Branchless cycle structure (xforc + ocean substep + nstr
             # atmos steps): a per-step lax.cond around the coupling
             # measured ~100x slower on TPU.  Cadences are honoured at
@@ -373,7 +430,7 @@ class Driver:
             oc, at, ofor, afor, oacc, aacc, n = carry
             lead = min(n_steps, (nstr - phase) % nstr)
             if lead and has_at:
-                at, aacc = atmos_seg(at, aacc, afor, n, lead)
+                at, aacc = atmos_seg(at, aacc, afor, n, lead, step0)
             if lead:
                 n = n + lead
             n_cycles, tail = divmod(n_steps - lead, nstr)
@@ -382,9 +439,10 @@ class Driver:
                 oc, at, ofor, afor, oacc, aacc, n = c_carry
                 oc, at = constrained(oc, at)
                 oc, at, ofor, afor, oacc = cycle_start(
-                    oc, at, ofor, afor, oacc, n)
+                    oc, at, ofor, afor, oacc, n, step0)
                 if has_at:
-                    at, aacc = atmos_seg(at, aacc, afor, n, nstr)
+                    at, aacc = atmos_seg(at, aacc, afor, n, nstr,
+                                         step0)
                 return (oc, at, ofor, afor, oacc, aacc, n + nstr), None
 
             if n_cycles:
@@ -395,9 +453,10 @@ class Driver:
             if tail:
                 oc, at = constrained(oc, at)
                 oc, at, ofor, afor, oacc = cycle_start(
-                    oc, at, ofor, afor, oacc, n)
+                    oc, at, ofor, afor, oacc, n, step0)
                 if has_at:
-                    at, aacc = atmos_seg(at, aacc, afor, n, tail)
+                    at, aacc = atmos_seg(at, aacc, afor, n, tail,
+                                         step0)
                 n = n + tail
             return (oc, at, ofor, afor, oacc, aacc, n)
 
@@ -643,6 +702,7 @@ class Driver:
         n_done = 0
         # --profile: trace the third chunk (steady state -- chunk 0
         # compiles, chunk 1 recompiles for settled array layouts).
+        step0_h = np.asarray(step0)   # host scalar; jit uploads once
         n_chunks = -(-self.nsteps // self.chunk)
         prof_chunk = min(2, n_chunks - 1) if self.profile_dir else -1
         prof_steps = 0
@@ -663,14 +723,14 @@ class Driver:
             if i_chunk == prof_chunk:
                 from jax import profiler as _jprof
                 with _jprof.trace(self.profile_dir):
-                    carry = self._chunk_fn(carry, n, phase)
+                    carry = self._chunk_fn(carry, n, phase, step0_h)
                     jax.block_until_ready(carry)
                     # a value fetch: a remote backend's
                     # block_until_ready can return early
                     float(jnp.ravel(carry[-1])[0])
                 prof_steps = n
             else:
-                carry = self._chunk_fn(carry, n, phase)
+                carry = self._chunk_fn(carry, n, phase, step0_h)
             i_chunk += 1
             n_done += n
             oc, at, ofor, afor, oacc, aacc, _ = carry

@@ -53,7 +53,14 @@ def _monit(d, names):
         return {n: f.variables[n][:].copy() for n in names}
 
 
-def test_longrun_mesh_with_restart_resume(tmp_path):
+@pytest.mark.parametrize("mesh_shape", ["rows", "box2d"])
+def test_longrun_mesh_with_restart_resume(tmp_path, mesh_shape):
+    """mesh_shape="rows": the production rows-only (4,1) layout.
+    "box2d": the 2-D (2,2) box decomposition (corner-ghost halo
+    schedule + per-shard x_ext Pallas mode, parallel/halo.py:300-420)
+    -- the newest decomposition gets the same slow-drift coverage
+    (constraint algebra over 2-D shards, cadence/resume seams) as the
+    rows path, not just kernel bit-exactness (test_halo)."""
     base = double_gyre_coupled(nxta=24, nyta=12, nxaooc=8, nyaooc=8,
                                ndxr=4, ocean=OceanConfig(dxo=20.0e3))
     model = build_model(base)
@@ -69,7 +76,10 @@ def test_longrun_mesh_with_restart_resume(tmp_path):
 
     # mesh run in two halves: restart dump at the end of the first
     # half (resday = SEG steps, cycle-aligned), resume for the second
-    mesh = make_mesh(jax.devices()[:4], rows_only=True)
+    mesh = make_mesh(jax.devices()[:4],
+                     rows_only=(mesh_shape == "rows"))
+    if mesh_shape == "box2d":
+        assert dict(mesh.shape) == {"y": 2, "x": 2}
     m1 = Driver(model, _params(SEG, r0, resday=SEG * 180.0 / DAY),
                 str(tmp_path / "m1"), verbose=False, mesh=mesh)
     assert m1.halo_variant == "overlap"     # production default

@@ -949,3 +949,96 @@ def test_driver_orbax_elastic_resume(tmp_path):
             a, b = np.asarray(a), np.asarray(b)
             scale = np.abs(b).max() + 1e-30
             assert np.abs(a - b).max() <= 1e-9 * scale, (tag, name)
+
+
+def test_driver_avges_midpoint_sampling(tmp_path):
+    """avges_sampling="midpoint" reproduces the reference's
+    one-sample-per-interval subsampling (q-gcm.F:1477-1482: accumulate
+    at mod(ntdone,ntav)==nmid with nmid=ntav/2; intervals set up at
+    :674-694). Pinned against DIRECT STATE SAMPLES: three extra runs
+    of the identical trajectory truncated at the midpoint steps
+    provide the exact states tavocn/tavatm would have sampled, and
+    avges.nc must equal their mean. The ocean sample keys on the
+    coupling cycle CONTAINING the midpoint step (the ocean substep
+    runs only at cycle heads, q-gcm.F:1222)."""
+    from qgcm_tpu.config import double_gyre_coupled, OceanConfig
+    from qgcm_tpu.run import run_case
+    from qgcm_tpu.model import build_model
+    from qgcm_tpu.models.ocean import init_ocean_state
+    from qgcm_tpu.models.atmos import init_atmos_state
+    from qgcm_tpu.generators import eddy_pressure
+    from qgcm_tpu.io import save_restart
+    from scipy.io import netcdf_file
+
+    base = double_gyre_coupled(nxta=24, nyta=12, nxaooc=8, nyaooc=8,
+                               ndxr=4, ocean=OceanConfig(dxo=20.0e3))
+    # dta=180 s, nstr=3; averaging interval = 12 atmos steps (even,
+    # whole cycles), nmid = 6; run = 36 steps = 3 intervals, so the
+    # midpoint samples land at ntdone = 6, 18, 30
+    dtav = 12 * 180.0 / 86400.0
+
+    def mkparams(nsteps, dtav_=0.0):
+        return RunParams(trun=nsteps * 180.0 / 86400.0 / 365.0,
+                         dta=180.0, nstr=3, dxo=20.0e3,
+                         valday=0.0, odiday=0.0, adiday=0.0,
+                         dgnday=0.0, prtday=0.0, resday=0.0,
+                         dtavoc=dtav_, dtavat=dtav_, name="zero")
+
+    # shared non-trivial IC (eddy ocean + rbal atmos)
+    p0 = mkparams(36, dtav)
+    cfg = params_to_config(p0, base)
+    model = build_model(cfg)
+    oc = init_ocean_state(model, po=eddy_pressure(cfg))
+    at = init_atmos_state(model, init="rbal")
+    rst = str(tmp_path / "restart_in.nc")
+    save_restart(rst, model, oc, at, 0.0)
+
+    p0.name = rst
+    res = run_case(p0, base, str(tmp_path / "mid"), verbose=False,
+                   avges_sampling="midpoint")
+    assert not res.aborted and res.steps_done == 36
+
+    # direct state samples at the midpoint steps
+    samples = {}
+    for nsteps in (6, 18, 30):
+        pk = mkparams(nsteps)
+        pk.name = rst
+        rk = run_case(pk, base, str(tmp_path / f"s{nsteps}"),
+                      verbose=False)
+        assert not rk.aborted
+        with netcdf_file(str(tmp_path / f"s{nsteps}" / "lastday.nc"),
+                         "r", mmap=False) as f:
+            samples[nsteps] = {v: f.variables[v][:].copy()
+                               for v in ("po", "sst", "pa", "ast",
+                                         "hmixa")}
+
+    def expect(v):
+        return (samples[6][v] + samples[18][v] + samples[30][v]) / 3.0
+
+    with netcdf_file(str(tmp_path / "mid" / "avges.nc"), "r",
+                     mmap=False) as f:
+        for v in ("po", "sst", "pa", "ast", "hmixa"):
+            got = f.variables[v][:]
+            np.testing.assert_allclose(
+                got, expect(v), rtol=1e-12, atol=1e-14,
+                err_msg=f"{v}: midpoint avges != mean of the "
+                        f"sampled states")
+
+    # sanity: the default mean mode gives a DIFFERENT (every-step) mean
+    p1 = mkparams(36, dtav)
+    p1.name = rst
+    run_case(p1, base, str(tmp_path / "mean"), verbose=False)
+    with netcdf_file(str(tmp_path / "mean" / "avges.nc"), "r",
+                     mmap=False) as f1, \
+         netcdf_file(str(tmp_path / "mid" / "avges.nc"), "r",
+                     mmap=False) as f2:
+        assert np.abs(f1.variables["pa"][:]
+                      - f2.variables["pa"][:]).max() > 0
+
+    # odd-interval midpoint is undefined: hard stop like the reference
+    from qgcm_tpu.run import Driver
+    podd = mkparams(36, 9 * 180.0 / 86400.0)
+    podd.name = rst
+    with pytest.raises(ValueError, match="even"):
+        Driver(model, podd, str(tmp_path / "odd"), verbose=False,
+               avges_sampling="midpoint")
