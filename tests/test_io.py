@@ -130,3 +130,31 @@ def test_orbax_checkpoint_roundtrip(setup, tmp_path):
     ref_oc, ref_at = run(oc1, at1, 15, step0=15)
     a, b = np.asarray(ref_oc.po), np.asarray(oc3.po)
     assert np.abs(a - b).max() < 1e-11 * (np.abs(a).max() + 1e-30)
+
+
+def test_channel_windstress_wall_asymmetry():
+    """channel_windstress must be exactly x-cyclic with NONZERO and
+    DIFFERENT stresses at the two walls, so txis/txin (the boundary
+    stress integrals, xfosubs.F:568-707) drive the southern and
+    northern leapfrogged momentum constraints independently -- the
+    contract the southern_ocean_forced_1yr production run rests on."""
+    from qgcm_tpu.config import ModelConfig, OceanConfig
+    from qgcm_tpu.model import build_model
+    from qgcm_tpu.models.ocean import ocean_forcing_from_mean
+    from qgcm_tpu.generators import channel_windstress
+
+    cfg = ModelConfig(nxta=24, nyta=18, nxaooc=24, nyaooc=6, ndxr=4,
+                      fnot=-1.19467e-4, beta=1.31301e-11,
+                      ocean=OceanConfig(dxo=20.0e3),
+                      ocean_only=True, cyclic_ocean=True,
+                      nb_hflux=True).validate()
+    model = build_model(cfg)
+    tauxo, tauyo, fnetoc = channel_windstress(cfg, model.grids)
+    assert np.allclose(tauxo[:, 0], tauxo[:, -1])     # exactly cyclic
+    assert np.abs(tauxo[0]).min() > 0                 # south wall
+    assert np.abs(tauxo[-1]).min() > 0                # north wall
+    assert tauxo[0, 0] != tauxo[-1, 0]                # asymmetric
+    assert tauxo.max() == tauxo[cfg.nypo // 2].max()  # jet mid-channel
+    f = ocean_forcing_from_mean(model, tauxo, tauyo, fnetoc)
+    txis, txin = float(f.txisoc), float(f.txinoc)
+    assert txis != 0.0 and txin != 0.0 and txis != txin

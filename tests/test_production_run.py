@@ -168,3 +168,81 @@ def test_k247_unforced_diagnostics_exact_zero(k247):
             assert np.abs(f.variables[name][:]).max() == 0.0, name
         assert np.abs(f.variables["emfroc"][:]).max() < 1e-12
         assert f.variables["cnqgoc"][:].max() < 0.2
+
+
+# ---------------------------------------------------------------------
+# southern_ocean_forced_1yr: the FORCED cyclic regime at production
+# scale -- an ACC-like windstress with nonzero, asymmetric wall values
+# drives the channel momentum constraints through txis/txin
+# (xfosubs.F:568-707 -> ocisubs.F:169-327) for 58,400 ocean steps.
+# The unforced k247 run pins the same constraint algebra with the
+# stress terms identically zero; this one pins it with them ACTIVE.
+# Numbers: docs/production_run.md.
+# ---------------------------------------------------------------------
+
+SODIR = os.path.join(os.path.dirname(__file__), "..", "examples",
+                     "southern_ocean_forced_1yr", "outdata")
+
+
+@pytest.fixture(scope="module")
+def sforced():
+    if not os.path.exists(os.path.join(SODIR, "monit.nc")):
+        pytest.skip("forced-channel production monit.nc not present")
+    from qgcm_tpu.analysis import QgcmData
+    return QgcmData(SODIR)
+
+
+def test_forced_channel_windwork_drives_spinup(sforced):
+    """Wind work is strictly positive at every record (the
+    txis/txin-bearing stress forcing is ACTIVE all year), bottom drag
+    responds and grows toward balance, and the wind spins up all
+    three layers from rest."""
+    with netcdf_file(os.path.join(SODIR, "monit.nc"), "r",
+                     mmap=False) as f:
+        t = f.variables["time"][:].copy()
+        ke = f.variables["kealoc"][:].copy()
+        ut = f.variables["utauoc"][:].copy()
+        bt = f.variables["btdgoc"][:].copy()
+    assert len(t) == 365
+    assert (ut > 0).all()                    # forced, every record
+    assert (bt > 0).all()
+    # drag grows by orders of magnitude toward wind-work balance
+    # (Ekman spindown 281 d: equilibration is multi-year by design)
+    assert bt[-1] > 100.0 * bt[0]
+    assert 0.1 < bt[-1] / ut[-1] < 1.0       # measured 0.55
+    # all layers energised from near-rest (measured [1141, 1794, 6812])
+    assert (ke[0] < 50.0).all()
+    assert (ke[-1] > 500.0).all()
+    np.testing.assert_allclose(ke[-1], [1141.0, 1794.0, 6812.0],
+                               rtol=0.5)
+    # spin-up, not blow-up: monotone-ish late growth, finite
+    assert np.isfinite(ke).all()
+
+
+def test_forced_channel_constraints_close_under_forcing(sforced):
+    """THE point of this run: with txis/txin forcing the leapfrogged
+    channel momentum constraints at every step, the constraint
+    monitors still close at rounding level (< 1e-3 reference bar;
+    measured 4.6e-41), CFL stays tiny, SST stays inside the valids
+    hard limits."""
+    with netcdf_file(os.path.join(SODIR, "monit.nc"), "r",
+                     mmap=False) as f:
+        g = {n: f.variables[n][:].copy() for n in
+             ("emfroc", "ermaso", "cnqgoc", "sstmin", "sstmax")}
+    assert np.abs(g["emfroc"]).max() < 1e-3
+    assert np.abs(g["ermaso"]).max() < 1e-3
+    assert g["cnqgoc"].max() < 0.5           # measured 0.029
+    assert g["sstmin"].min() > -35.0
+    assert g["sstmax"].max() < 60.0
+
+
+def test_forced_channel_energy_series(sforced):
+    """analysis-layer energy budget on the forced channel: total
+    energy grows through spin-up (te_fin/te_ini ~ 2.25) with PE and
+    KE both finite and positive."""
+    e = sforced.energy_series()
+    te = e["te"]
+    assert np.isfinite(te).all() and (te > 0).all()
+    assert 1.5 < te[-1] / te[0] < 4.0        # measured 2.25
+    assert (e["keocavg"][-1] > 0).all()
+    assert (e["peocavg"][-1] > 0).all()
