@@ -230,10 +230,14 @@ def make_ensemble_runner(model: Model, kind: str = None,
     collectives at all (GSPMD sharding alone would not: XLA's SPMD
     partitioner replicates FFT ops, all-gathering the member axis at
     every spectral solve). Spatial sharding and the member axis are
-    alternatives, not composable -- an ensemble of spatially-sharded
-    members would nest shard_maps; shard members instead (each member
-    fits one chip for every config except NAtl-scale, where ensembles
-    are not the workflow).
+    alternatives by MEASUREMENT, not fiat (BENCHMARKS.md round 5,
+    tools/bench_ensemble_mesh.py): a member fits one chip at every
+    inventory config (even NAtl holds two members on one v5e), and
+    multi-member-per-chip batching runs at 0.49-0.80x per member at
+    production sizes -- so one-member-per-chip on this zero-collective
+    mesh beats both per-chip batching and any member x rows
+    composition, which would add halo/a2a traffic per member and is
+    bounded by the rows-mesh scaling efficiency.
 
     Returns run(members, forcing, n_steps, step0=0) for "ocean", or
     run(ocean_members, atmos_members, n_steps, step0=0) for "coupled";
