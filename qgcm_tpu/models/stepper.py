@@ -57,7 +57,8 @@ def average_atmos_levels(st: AtmosState) -> AtmosState:
 
 
 def make_ocean_only_runner(model: Model, jit: bool = True, mesh=None,
-                           halo_variant=None, spectral_variant=None):
+                           halo_variant=None, spectral_variant=None,
+                           remat: bool = False):
     """Returns run(state, forcing, n_steps, step0=0) -> (state, diags).
 
     `step0` is the 0-based index of the first ocean substep taken by
@@ -72,6 +73,13 @@ def make_ocean_only_runner(model: Model, jit: bool = True, mesh=None,
     parallel/halo.py). `spectral_variant='a2a'` routes the PV-inversion
     transforms through explicit all_to_all pencil transposes instead of
     GSPMD's gathers (parallel/spectral.py).
+
+    remat=True wraps the scan body in jax.checkpoint so reverse-mode
+    differentiation (adjoint.py) stores only the per-iteration carry
+    and recomputes the step's internals (stencil chains, spectral
+    solve stages) on the backward pass -- the standard TPU trade of
+    FLOPs for HBM. Forward-only runs are unaffected (primal
+    computation is identical); leave it False unless differentiating.
     """
     halo = (mesh, halo_variant) if (mesh is not None
                                     and halo_variant) else None
@@ -103,6 +111,8 @@ def make_ocean_only_runner(model: Model, jit: bool = True, mesh=None,
             st = one(one(st, n), n + 1)
             return (st, n + 2), None
 
+        if remat:
+            body = jax.checkpoint(body)
         pairs, rem = divmod(n_steps, 2)
         (state, n), _ = jax.lax.scan(
             body, (state, jnp.asarray(step0)), None, length=pairs)
@@ -177,7 +187,8 @@ def make_atmos_only_runner(model: Model, jit: bool = True):
 
 
 def make_coupled_runner(model: Model, jit: bool = True, mesh=None,
-                        spectral_variant=None, halo_variant=None):
+                        spectral_variant=None, halo_variant=None,
+                        remat: bool = False):
     """Fully coupled ocean-atmosphere stepping (main loop
     q-gcm.F:1220-1491): every atmospheric step runs the atmosphere;
     every nstr-th step first recomputes the forcing (xforc) and takes
@@ -192,6 +203,8 @@ def make_coupled_runner(model: Model, jit: bool = True, mesh=None,
     stencils through the explicit shard_map halo path (which also
     keeps the fused Pallas kernel on mesh runs). With a mesh, xforc
     runs in its small-collective layout (coupling.make_xforc).
+    remat=True enables per-cycle jax.checkpoint for reverse-mode
+    differentiation (adjoint.py).
     """
     from ..coupling import make_xforc
     if mesh is not None and spectral_variant == "a2a":
@@ -237,6 +250,11 @@ def make_coupled_runner(model: Model, jit: bool = True, mesh=None,
             at, _ = jax.lax.scan(abody, at, jnp.arange(nstr))
             return (oc, at, c + 1), None
 
+        if remat:
+            # per-CYCLE rematerialisation (adjoint.py): the backward
+            # pass stores one (ocean, atmos) carry per coupling cycle
+            # and recomputes xforc + substeps' internals
+            cycle = jax.checkpoint(cycle)
         (ocean, atmos, _), _ = jax.lax.scan(
             cycle, (ocean, atmos, cyc0), None, length=n_cycles)
         return ocean, atmos

@@ -1,0 +1,131 @@
+"""Adjoint sensitivities (qgcm_tpu/adjoint.py): reverse-mode gradients
+through the full physics, pinned against central finite differences.
+No reference analogue -- the Fortran model has no adjoint; here the
+whole leapfrog scan + spectral inversion + constraint algebra is a
+pure JAX program and jax.grad differentiates it mechanically."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from qgcm_tpu.config import ModelConfig, OceanConfig
+from qgcm_tpu.model import build_model
+from qgcm_tpu.models.ocean import (init_ocean_state,
+                                   ocean_forcing_from_mean)
+from qgcm_tpu.models.stepper import make_ocean_only_runner
+from qgcm_tpu.generators import (eddy_pressure, double_gyre_windstress,
+                                 channel_windstress, zero_forcing)
+from qgcm_tpu.adjoint import (ocean_sensitivity, layer1_energy_proxy,
+                              transport_proxy)
+
+
+def _setup(cyclic):
+    cfg = ModelConfig(nxta=24, nyta=24, nxaooc=24, nyaooc=12, ndxr=2,
+                      fnot=5.92e-5, beta=2.08e-11, dta=150.0,
+                      ocean=OceanConfig(nlo=2, dxo=20e3, delek=2.0,
+                                        hoc=(800.0, 3200.0),
+                                        gpoc=(0.01,),
+                                        tabsoc=(287.0, 282.0),
+                                        ah2oc=(0.0, 0.0),
+                                        ah4oc=(1e10, 1e10)),
+                      ocean_only=True, cyclic_ocean=cyclic).validate()
+    model = build_model(cfg)
+    st0 = init_ocean_state(model, po=eddy_pressure(cfg))
+    gen = channel_windstress if cyclic else double_gyre_windstress
+    mf = gen(cfg, model.grids)
+    return model, st0, mf
+
+
+@pytest.mark.parametrize("cyclic", [False, True])
+def test_forcing_gradient_matches_finite_differences(cyclic):
+    """dL/d(windstress amplitude) from the adjoint equals the central
+    finite difference of the primal to ~1e-6 relative (f64, 60 steps;
+    the cyclic case routes the gradient through the channel momentum
+    constraint algebra and the txis/txin stress integrals)."""
+    model, st0, (tauxo, tauyo, fnetoc) = _setup(cyclic)
+    obj = (transport_proxy if cyclic else layer1_energy_proxy)(model)
+    sens = ocean_sensitivity(model, obj)
+    n = 60
+
+    val, g = sens(st0, (tauxo, tauyo, fnetoc), n)
+    # directional derivative along the stress pattern itself
+    # (= d/da L(a*tau) at a=1) from the adjoint field
+    dir_grad = float(jnp.vdot(g.forcing[0], jnp.asarray(tauxo)))
+
+    run = make_ocean_only_runner(model)
+
+    def primal(a):
+        f = ocean_forcing_from_mean(model, a * np.asarray(tauxo),
+                                    tauyo, fnetoc)
+        st = run(st0, f, n)
+        return float(obj(st))
+
+    eps = 1e-3
+    fd = (primal(1.0 + eps) - primal(1.0 - eps)) / (2 * eps)
+    assert fd != 0.0
+    assert abs(dir_grad - fd) < 1e-6 * abs(fd), (dir_grad, fd)
+    # gradient field sanity: finite everywhere, right shape
+    for gf in g.forcing:
+        assert np.isfinite(np.asarray(gf)).all()
+
+
+def test_initial_condition_gradient_matches_jvp():
+    """dL/d(state0): the reverse-mode gradient's inner product with a
+    random perturbation direction equals the forward-mode (jvp)
+    directional derivative -- adjoint/tangent consistency through the
+    whole step machinery (including the PV/constraint re-derivation
+    in the initial state)."""
+    model, st0, mf = _setup(False)
+    obj = layer1_energy_proxy(model)
+    sens = ocean_sensitivity(model, obj, remat=False)
+    n = 30
+    _, g = sens(st0, mf, n)
+
+    key = jax.random.PRNGKey(0)
+    dpo = 1e-3 * jax.random.normal(key, st0.po.shape, st0.po.dtype)
+    tangent = jax.tree.map(jnp.zeros_like, st0)
+    tangent = tangent._replace(po=dpo, pom=dpo)
+
+    f = ocean_forcing_from_mean(model, *mf)
+    run = make_ocean_only_runner(model, jit=False)
+    _, jvp_val = jax.jvp(lambda s: obj(run(s, f, n)), (st0,),
+                         (tangent,))
+    vjp_val = sum(float(jnp.vdot(a, b)) for a, b in
+                  zip(jax.tree.leaves(g.state0),
+                      jax.tree.leaves(tangent)))
+    assert abs(float(jvp_val) - vjp_val) < 1e-9 * abs(float(jvp_val))
+
+
+def test_remat_gradient_equals_stored_gradient():
+    """remat=True (jax.checkpoint over the scan body -- the O(carry)
+    memory path for long-horizon adjoints) must produce the same
+    gradient as the fully-stored reverse pass."""
+    model, st0, mf = _setup(False)
+    obj = layer1_energy_proxy(model)
+    n = 50
+    _, g_stored = ocean_sensitivity(model, obj, remat=False)(
+        st0, mf, n)
+    _, g_remat = ocean_sensitivity(model, obj, remat=True)(
+        st0, mf, n)
+    for a, b in zip(jax.tree.leaves(g_stored.forcing),
+                    jax.tree.leaves(g_remat.forcing)):
+        a, b = np.asarray(a), np.asarray(b)
+        assert np.abs(a - b).max() <= 1e-12 * (np.abs(a).max() + 1e-30)
+
+
+def test_unforced_gradient_is_zero_field_effectless():
+    """Sanity: with zero forcing the transport objective of a box eddy
+    still produces a finite adjoint stress field, and the value/grad
+    pair is reproducible (same seed, same numbers) -- the API contract
+    for optimisation loops."""
+    model, st0, _ = _setup(False)
+    mf = zero_forcing(model.cfg)
+    sens = ocean_sensitivity(model, layer1_energy_proxy(model))
+    v1, g1 = sens(st0, mf, 20)
+    v2, g2 = sens(st0, mf, 20)
+    assert float(v1) == float(v2)
+    a = np.asarray(g1.forcing[0])
+    b = np.asarray(g2.forcing[0])
+    assert np.array_equal(a, b)
+    assert np.isfinite(a).all() and np.abs(a).max() > 0
