@@ -59,6 +59,16 @@ def ocean_sensitivity(model: Model, loss: Callable[[OceanState],
     terms."""
     from .models.ocean import ocean_forcing_from_mean
     from .models.stepper import make_ocean_only_runner
+    from .config import pallas_enabled
+    if pallas_enabled(model.cfg):
+        # the fused Pallas kernel defines no VJP (and its sequential-
+        # vmap fence covers batching, not differentiation): adjoint
+        # runs take the jnp stencil chain, which jax.grad transposes
+        # mechanically. Auto-on f32 TPU models would otherwise fail
+        # to differentiate.
+        import dataclasses
+        model = dataclasses.replace(
+            model, cfg=model.cfg.replace(use_pallas=False))
     run = make_ocean_only_runner(model, jit=False, remat=remat)
 
     def objective(state0, mean_forcing, n_steps, step0):

@@ -129,3 +129,19 @@ def test_unforced_gradient_is_zero_field_effectless():
     b = np.asarray(g2.forcing[0])
     assert np.array_equal(a, b)
     assert np.isfinite(a).all() and np.abs(a).max() > 0
+
+
+def test_adjoint_forces_pallas_off():
+    """f32 TPU models auto-enable the fused Pallas kernel, which has
+    no VJP: ocean_sensitivity must rebuild the model with the jnp
+    stencil chain (same fence-style defence as the ensemble runner)
+    so differentiation works regardless of the model's kernel flag.
+    Validated compiled on the real chip (961-wide channel, 240
+    remat'd steps) in round 5; this pins the fence on CPU."""
+    model, st0, mf = _setup(False)
+    model_p = model.__class__(**{**model.__dict__,
+                                 "cfg": model.cfg.replace(use_pallas=True)})
+    sens = ocean_sensitivity(model_p, layer1_energy_proxy(model_p))
+    val, g = sens(st0, mf, 10)
+    assert np.isfinite(float(val))
+    assert np.isfinite(np.asarray(g.forcing[0])).all()
