@@ -145,3 +145,42 @@ def test_adjoint_forces_pallas_off():
     val, g = sens(st0, mf, 10)
     assert np.isfinite(float(val))
     assert np.isfinite(np.asarray(g.forcing[0])).all()
+
+
+def test_coupled_runner_differentiates_with_remat():
+    """The coupled runner's remat=True path (per-cycle jax.checkpoint)
+    also differentiates: d(final atmos mixed-layer temperature)/
+    d(initial SST) -- the direct air-sea heat-flux coupling pathway
+    through xforc + both fluids' steps -- matches the central finite
+    difference of the primal along a random direction.
+    (Forward-mode jvp is NOT used here: a where-kink tangent in the
+    atmos mixed-layer min-thickness fixer produces NaN tangents that
+    reverse mode never sees -- FD is the arbiter.)"""
+    from qgcm_tpu.config import double_gyre_coupled
+    from qgcm_tpu.models.atmos import init_atmos_state
+    from qgcm_tpu.models.stepper import make_coupled_runner
+
+    cfg = double_gyre_coupled(nxta=24, nyta=12, nxaooc=8, nyaooc=8,
+                              ndxr=4,
+                              ocean=OceanConfig(dxo=20.0e3))
+    model = build_model(cfg)
+    oc0 = init_ocean_state(model, po=eddy_pressure(cfg))
+    at0 = init_atmos_state(model, init="rbal")
+    run = make_coupled_runner(model, remat=True)
+    n = 4 * cfg.nstr
+
+    def loss(sst):
+        oc = oc0._replace(sst=sst, sstm=sst)
+        _, at_f = run(oc, at0, n)
+        return jnp.mean(jnp.square(at_f.ast))
+
+    g = jax.jit(jax.grad(loss))(oc0.sst)
+    assert np.isfinite(np.asarray(g)).all()
+    dsst = 1e-2 * jax.random.normal(jax.random.PRNGKey(1),
+                                    oc0.sst.shape, oc0.sst.dtype)
+    vjp_val = float(jnp.vdot(g, dsst))
+    eps = 1e-2
+    fd = (float(loss(oc0.sst + eps * dsst))
+          - float(loss(oc0.sst - eps * dsst))) / (2 * eps)
+    assert fd != 0.0
+    assert abs(vjp_val - fd) <= 1e-5 * abs(fd), (vjp_val, fd)
