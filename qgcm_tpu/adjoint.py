@@ -45,10 +45,14 @@ class OceanSensitivity(NamedTuple):
 
 def ocean_sensitivity(model: Model, loss: Callable[[OceanState],
                                                    jnp.ndarray],
-                      remat: bool = True, jit: bool = True):
+                      remat=True, jit: bool = True):
     """Build dL/d(initial state, mean forcing) for an ocean-only run.
 
     loss: scalar function of the FINAL OceanState.
+    remat: True = full per-pair rematerialisation (the long-horizon
+    memory bound); "dots" = also save the spectral GEMM outputs (18%
+    faster backward, more memory -- stepper._remat_wrap); False =
+    store the whole forward trajectory (short runs only).
     Returns fn(state0, (tauxo, tauyo, fnetoc), n_steps, step0=0)
     -> (loss_value, OceanSensitivity). n_steps is jit-static.
 

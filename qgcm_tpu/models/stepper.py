@@ -30,6 +30,24 @@ OCEAN_AVG_PERIOD = 25   # ocean substeps between time-level averagings
 ATMOS_AVG_PERIOD = 100  # atmos steps between averagings
 
 
+def _remat_wrap(body, remat):
+    """jax.checkpoint wrapper for the scan bodies (reverse-mode
+    memory control, adjoint.py). remat=True: full rematerialisation
+    -- the backward pass stores only the per-iteration carry, the
+    long-horizon memory bound. remat="dots": additionally save MXU
+    dot outputs (the spectral-solve GEMMs), measured 18% faster
+    backward at production channel scale (24.7 vs 30.2 ms/step,
+    BENCHMARKS.md round 5) at the cost of retaining grid-sized GEMM
+    results per step -- prefer it for short-horizon sensitivities,
+    True for long ones."""
+    if not remat:
+        return body
+    if remat == "dots":
+        return jax.checkpoint(
+            body, policy=jax.checkpoint_policies.dots_saveable)
+    return jax.checkpoint(body)
+
+
 def average_ocean_levels(st: OceanState) -> OceanState:
     """x <- (x + xm)/2 for the current time level only
     (q-gcm.F:1328-1366 including the constraint variables)."""
@@ -78,8 +96,10 @@ def make_ocean_only_runner(model: Model, jit: bool = True, mesh=None,
     differentiation (adjoint.py) stores only the per-iteration carry
     and recomputes the step's internals (stencil chains, spectral
     solve stages) on the backward pass -- the standard TPU trade of
-    FLOPs for HBM. Forward-only runs are unaffected (primal
-    computation is identical); leave it False unless differentiating.
+    FLOPs for HBM. remat="dots" additionally saves the MXU GEMM
+    outputs (18% faster backward, more memory; _remat_wrap).
+    Forward-only runs are unaffected (primal computation is
+    identical); leave it False unless differentiating.
     """
     halo = (mesh, halo_variant) if (mesh is not None
                                     and halo_variant) else None
@@ -111,8 +131,7 @@ def make_ocean_only_runner(model: Model, jit: bool = True, mesh=None,
             st = one(one(st, n), n + 1)
             return (st, n + 2), None
 
-        if remat:
-            body = jax.checkpoint(body)
+        body = _remat_wrap(body, remat)
         pairs, rem = divmod(n_steps, 2)
         (state, n), _ = jax.lax.scan(
             body, (state, jnp.asarray(step0)), None, length=pairs)
@@ -250,11 +269,10 @@ def make_coupled_runner(model: Model, jit: bool = True, mesh=None,
             at, _ = jax.lax.scan(abody, at, jnp.arange(nstr))
             return (oc, at, c + 1), None
 
-        if remat:
-            # per-CYCLE rematerialisation (adjoint.py): the backward
-            # pass stores one (ocean, atmos) carry per coupling cycle
-            # and recomputes xforc + substeps' internals
-            cycle = jax.checkpoint(cycle)
+        # per-CYCLE rematerialisation (adjoint.py): the backward pass
+        # stores one (ocean, atmos) carry per coupling cycle and
+        # recomputes xforc + substeps' internals
+        cycle = _remat_wrap(cycle, remat)
         (ocean, atmos, _), _ = jax.lax.scan(
             cycle, (ocean, atmos, cyc0), None, length=n_cycles)
         return ocean, atmos

@@ -97,16 +97,18 @@ def test_initial_condition_gradient_matches_jvp():
     assert abs(float(jvp_val) - vjp_val) < 1e-9 * abs(float(jvp_val))
 
 
-def test_remat_gradient_equals_stored_gradient():
-    """remat=True (jax.checkpoint over the scan body -- the O(carry)
-    memory path for long-horizon adjoints) must produce the same
-    gradient as the fully-stored reverse pass."""
+@pytest.mark.parametrize("remat", [True, "dots"])
+def test_remat_gradient_equals_stored_gradient(remat):
+    """remat=True (full recompute, the O(carry) memory path) and
+    remat="dots" (save the spectral GEMM outputs, the measured-faster
+    backward) must both produce the same gradient as the fully-stored
+    reverse pass."""
     model, st0, mf = _setup(False)
     obj = layer1_energy_proxy(model)
     n = 50
     _, g_stored = ocean_sensitivity(model, obj, remat=False)(
         st0, mf, n)
-    _, g_remat = ocean_sensitivity(model, obj, remat=True)(
+    _, g_remat = ocean_sensitivity(model, obj, remat=remat)(
         st0, mf, n)
     for a, b in zip(jax.tree.leaves(g_stored.forcing),
                     jax.tree.leaves(g_remat.forcing)):
@@ -184,3 +186,34 @@ def test_coupled_runner_differentiates_with_remat():
           - float(loss(oc0.sst - eps * dsst))) / (2 * eps)
     assert fd != 0.0
     assert abs(vjp_val - fd) <= 1e-5 * abs(fd), (vjp_val, fd)
+
+
+def test_forcing_inversion_by_gradient_descent():
+    """End-to-end use case: recover an unknown wind-stress amplitude
+    from an 'observed' final state by gradient descent on the misfit
+    -- the optimisation-loop workflow the adjoint exists for. Starting
+    2x too strong, a few Newton-like steps on the 1-D amplitude
+    recover the true value to <1%."""
+    model, st0, (tauxo, tauyo, fnetoc) = _setup(False)
+    run = make_ocean_only_runner(model, jit=False)
+    n = 40
+    tauxo = jnp.asarray(tauxo)
+
+    def final_po(amp):
+        f = ocean_forcing_from_mean(model, amp * tauxo, tauyo, fnetoc)
+        return run(st0, f, n).po
+
+    obs = final_po(1.0)          # truth: amp = 1
+
+    @jax.jit
+    def misfit_vg(amp):
+        return jax.value_and_grad(
+            lambda a: jnp.mean(jnp.square(final_po(a) - obs)))(amp)
+
+    amp = 2.0
+    for _ in range(12):
+        v, g = misfit_vg(amp)
+        # Newton on the (locally ~quadratic) 1-D misfit:
+        # v ~ c*(amp-1)^2, g ~ 2c*(amp-1) => step = 2v/g
+        amp = amp - 2.0 * v / g
+    assert abs(float(amp) - 1.0) < 1e-2, float(amp)
