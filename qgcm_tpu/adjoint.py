@@ -45,7 +45,8 @@ class OceanSensitivity(NamedTuple):
 
 def ocean_sensitivity(model: Model, loss: Callable[[OceanState],
                                                    jnp.ndarray],
-                      remat=True, jit: bool = True):
+                      remat=True, jit: bool = True, mesh=None,
+                      halo_variant=None):
     """Build dL/d(initial state, mean forcing) for an ocean-only run.
 
     loss: scalar function of the FINAL OceanState.
@@ -60,7 +61,19 @@ def ocean_sensitivity(model: Model, loss: Callable[[OceanState],
     fields (the avges.nc triple), THROUGH ocean_forcing_from_mean --
     so dL/dtauxo includes the Ekman-velocity, curl and boundary
     stress-integral (txis/txin) pathways, not just the direct drag
-    terms."""
+    terms.
+
+    mesh/halo_variant: DISTRIBUTED adjoints -- pass a device mesh
+    (and optionally the explicit ppermute halo schedule) and the
+    sharded state; XLA transposes the collectives and the gradient
+    matches the single-device one to ~1e-15 (test_adjoint). Two
+    constraints, both measured round 5: the solver must be the matmul
+    DST (auto at production sizes; set solver_transform="matmul" to
+    force at small ones -- the FFT path's rfft transpose trips an
+    upstream XLA dtype verifier bug under GSPMD), and the a2a pencil
+    solvers stay forward-only (their shard_map cotangents carry
+    mismatched varying-axes annotations), so spectral transforms ride
+    GSPMD in adjoint runs."""
     from .models.ocean import ocean_forcing_from_mean
     from .models.stepper import make_ocean_only_runner
     from .config import pallas_enabled
@@ -73,7 +86,8 @@ def ocean_sensitivity(model: Model, loss: Callable[[OceanState],
         import dataclasses
         model = dataclasses.replace(
             model, cfg=model.cfg.replace(use_pallas=False))
-    run = make_ocean_only_runner(model, jit=False, remat=remat)
+    run = make_ocean_only_runner(model, jit=False, remat=remat,
+                                 mesh=mesh, halo_variant=halo_variant)
 
     def objective(state0, mean_forcing, n_steps, step0):
         f = ocean_forcing_from_mean(model, *mean_forcing)

@@ -217,3 +217,48 @@ def test_forcing_inversion_by_gradient_descent():
         # v ~ c*(amp-1)^2, g ~ 2c*(amp-1) => step = 2v/g
         amp = amp - 2.0 * v / g
     assert abs(float(amp) - 1.0) < 1e-2, float(amp)
+
+
+def test_distributed_adjoint_matches_single_device():
+    """Gradients through the SHARDED runner (rows mesh + explicit
+    ppermute halo schedule, matmul-DST solver): XLA transposes the
+    collectives and the distributed gradient equals the single-device
+    one to ~1e-15. The matmul solver is the production TPU path
+    anyway (auto at >=512 interior); the FFT path's rfft transpose
+    trips an upstream XLA dtype verifier bug under GSPMD and the a2a
+    pencil solvers stay forward-only (cotangent varying-axes
+    mismatch) -- both noted in ocean_sensitivity's docstring."""
+    if len(jax.devices()) < 4:
+        pytest.skip("needs multi-device CPU mesh")
+    from qgcm_tpu.parallel.mesh import make_mesh, shard_tree
+
+    cfg = ModelConfig(nxta=24, nyta=24, nxaooc=24, nyaooc=12, ndxr=2,
+                      fnot=5.92e-5, beta=2.08e-11, dta=150.0,
+                      solver_transform="matmul",
+                      ocean=OceanConfig(nlo=2, dxo=20e3, delek=2.0,
+                                        hoc=(800.0, 3200.0),
+                                        gpoc=(0.01,),
+                                        tabsoc=(287.0, 282.0),
+                                        ah2oc=(0.0, 0.0),
+                                        ah4oc=(1e10, 1e10)),
+                      ocean_only=True, cyclic_ocean=False).validate()
+    model = build_model(cfg)
+    st0 = init_ocean_state(model, po=eddy_pressure(cfg))
+    mf = double_gyre_windstress(cfg, model.grids)
+    obj = layer1_energy_proxy(model)
+    n = 30
+
+    _, g1 = ocean_sensitivity(model, obj)(st0, mf, n)
+
+    mesh = make_mesh(jax.devices()[:4], rows_only=True)
+    sens_d = ocean_sensitivity(model, obj, mesh=mesh,
+                               halo_variant="overlap")
+    _, g2 = sens_d(shard_tree(st0, mesh), mf, n)
+
+    for a, b in zip(jax.tree.leaves(g1.forcing),
+                    jax.tree.leaves(g2.forcing)):
+        a, b = np.asarray(a), np.asarray(b)
+        assert np.abs(a - b).max() <= 1e-13 * (np.abs(a).max() + 1e-30)
+    a = np.asarray(g1.state0.po)
+    b = np.asarray(g2.state0.po)
+    assert np.abs(a - b).max() <= 1e-12 * (np.abs(a).max() + 1e-30)
