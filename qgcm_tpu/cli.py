@@ -389,6 +389,90 @@ def cmd_ensemble(args):
     return 0
 
 
+def cmd_sense(args):
+    """Adjoint sensitivity of a scalar objective to the mean forcing
+    and initial condition (adjoint.py; docs/adjoint.md -- no reference
+    analogue). Ocean-only cases: loads the case's IC and avges.nc
+    forcing, runs `--days` of physics, differentiates the objective
+    through the whole run and writes the gradient fields to
+    sensitivity.nc in the case's outdata directory."""
+    import jax
+    import numpy as np
+    from .model import build_model
+    from .models.ocean import init_ocean_state
+    from .io import read_mean_forcing
+    from .io.restart import load_restart
+    from .io.ncdf import make_writer as NcWriter
+    from .params import parse_input_params, params_to_config, \
+        RunParams, SECDAY
+    from .adjoint import (ocean_sensitivity, layer1_energy_proxy,
+                          transport_proxy)
+    _enable_xla_cache()
+
+    case = args.case
+    ppath = os.path.join(case, "input.params")
+    params = parse_input_params(ppath) if os.path.exists(ppath) \
+        else RunParams()
+    if params.name not in ("zero", "rbal"):
+        params.name = os.path.normpath(os.path.join(case, params.name))
+    cfg = params_to_config(params, _base_config(args))
+    if not cfg.ocean_only:
+        raise SystemExit("qgcm sense supports ocean-only cases "
+                         "(coupled adjoints: models/stepper "
+                         "make_coupled_runner(remat=True) + jax.grad)")
+    model = build_model(cfg)
+
+    if params.name in ("zero", "rbal"):
+        oc0 = init_ocean_state(model, init=params.name)
+    else:
+        oc0, _, _ = load_restart(params.name, model)
+
+    avpath = os.path.join(case, "avges.nc")
+    if os.path.exists(avpath):
+        mf = read_mean_forcing(avpath)
+    else:
+        from .generators import zero_forcing
+        print("no avges.nc in case dir; using zero mean forcing")
+        mf = zero_forcing(cfg)
+
+    n_steps = max(1, round(args.days * SECDAY / cfg.dto))
+    obj = (transport_proxy(model) if args.objective == "transport"
+           else layer1_energy_proxy(model))
+    print(f"objective={args.objective}, horizon {args.days} d = "
+          f"{n_steps} ocean steps, remat={args.remat}")
+    sens = ocean_sensitivity(
+        model, obj,
+        remat={"true": True, "dots": "dots",
+               "false": False}[args.remat])
+    val, g = sens(oc0, mf, n_steps)
+
+    outdir = args.outdir or os.path.join(case, "outdata")
+    os.makedirs(outdir, exist_ok=True)
+    path = os.path.join(outdir, "sensitivity.nc")
+    w = NcWriter(path)
+    w.dim("xpo", cfg.nxpo); w.dim("ypo", cfg.nypo)
+    w.dim("xto", cfg.nxto); w.dim("yto", cfg.nyto)
+    w.dim("zo", cfg.nlo)
+    w.var("objective", "d", (), data=float(val))
+    w.var("dJ_dtauxo", "d", ("ypo", "xpo"),
+          data=np.asarray(g.forcing[0], np.float64))
+    w.var("dJ_dtauyo", "d", ("ypo", "xpo"),
+          data=np.asarray(g.forcing[1], np.float64))
+    w.var("dJ_dfnetoc", "d", ("yto", "xto"),
+          data=np.asarray(g.forcing[2], np.float64))
+    w.var("dJ_dpo", "d", ("zo", "ypo", "xpo"),
+          data=np.asarray(g.state0.po, np.float64))
+    w.var("dJ_dsst", "d", ("yto", "xto"),
+          data=np.asarray(g.state0.sst, np.float64))
+    w.close()
+    gx = np.asarray(g.forcing[0])
+    print(f"objective value: {float(val):.6e}")
+    print(f"dJ/dtauxo: rms {float(np.sqrt(np.mean(gx**2))):.3e}, "
+          f"|max| {float(np.abs(gx).max()):.3e}")
+    print(f"wrote {path}")
+    return 0
+
+
 def cmd_analyze(args):
     """Energy/diagnostics summary from monit.nc (the checks the Ruby
     layer runs: KE/PE series, constraint errors, CFL), plus the
@@ -611,6 +695,25 @@ def main(argv=None):
     pe.add_argument("--quiet", action="store_true")
     add_grid(pe)
     pe.set_defaults(fn=cmd_ensemble)
+
+    ps = sub.add_parser("sense",
+                        help="adjoint sensitivity of an objective to "
+                        "forcing/IC (writes sensitivity.nc)")
+    ps.add_argument("case")
+    ps.add_argument("--objective", choices=["energy", "transport"],
+                    default="energy",
+                    help="scalar objective of the final state: "
+                    "'energy' = layer-1 KE density; 'transport' = "
+                    "zonal-mean layer-1 zonal transport (channels)")
+    ps.add_argument("--days", type=float, default=10.0,
+                    help="sensitivity horizon in model days")
+    ps.add_argument("--remat", choices=["true", "dots", "false"],
+                    default="true",
+                    help="backward-pass memory policy "
+                    "(docs/adjoint.md)")
+    ps.add_argument("--outdir")
+    add_grid(ps)
+    ps.set_defaults(fn=cmd_sense)
 
     pa = sub.add_parser("analyze", help="summarise a run's monit.nc")
     pa.add_argument("outdata")

@@ -1042,3 +1042,28 @@ def test_driver_avges_midpoint_sampling(tmp_path):
     with pytest.raises(ValueError, match="even"):
         Driver(model, podd, str(tmp_path / "odd"), verbose=False,
                avges_sampling="midpoint")
+
+
+def test_sense_cli_end_to_end(tmp_path):
+    """qgcm sense: adjoint sensitivity from the experiment workflow --
+    prepare a small cyclic case with channel forcing, then write
+    sensitivity.nc with the gradient fields (docs/adjoint.md)."""
+    from qgcm_tpu.cli import main
+    from scipy.io import netcdf_file
+
+    case = tmp_path / "case"
+    flags = ["--nxta", "24", "--nyta", "18", "--nxaooc", "24",
+             "--nyaooc", "6", "--ndxr", "4", "--fnot=-1.19467e-4",
+             "--beta", "1.31301e-11", "--ocean-only", "--cyclic-ocean"]
+    assert main(["prepare", str(case), "--forcing", "channel"]
+                + flags) in (0, None)
+    assert main(["sense", str(case), "--objective", "transport",
+                 "--days", "0.5"] + flags) in (0, None)
+    with netcdf_file(str(case / "outdata" / "sensitivity.nc"), "r",
+                     mmap=False) as f:
+        for v in ("dJ_dtauxo", "dJ_dtauyo", "dJ_dfnetoc", "dJ_dpo",
+                  "dJ_dsst"):
+            arr = f.variables[v][:]
+            assert np.isfinite(arr).all(), v
+        assert np.abs(f.variables["dJ_dtauxo"][:]).max() > 0
+        assert np.isfinite(float(f.variables["objective"].getValue()))
