@@ -46,14 +46,24 @@ class OceanSensitivity(NamedTuple):
 def ocean_sensitivity(model: Model, loss: Callable[[OceanState],
                                                    jnp.ndarray],
                       remat=True, jit: bool = True, mesh=None,
-                      halo_variant=None):
+                      halo_variant=None, segment_steps: int = 0):
     """Build dL/d(initial state, mean forcing) for an ocean-only run.
 
     loss: scalar function of the FINAL OceanState.
-    remat: True = full per-pair rematerialisation (the long-horizon
-    memory bound); "dots" = also save the spectral GEMM outputs (18%
-    faster backward, more memory -- stepper._remat_wrap); False =
-    store the whole forward trajectory (short runs only).
+    remat: True = multi-level rematerialised scan (stepper._remat_scan
+    -- bounded carries); an int = the per-level fan-out; "dots" = also
+    save the spectral GEMM outputs (18% faster backward, more memory);
+    False = store the whole forward trajectory (short runs only).
+    segment_steps > 0: HOST-LEVEL checkpointing for horizons whose
+    in-program backward exceeds HBM (the 30-day production-channel
+    adjoint needs ~16.5 GB in one program, 740 MB over the v5e; and
+    3-deep nested remat while-loops crash the TPU worker): the
+    forward stores one state per segment on the HOST, then one
+    per-segment VJP program (compiled once, reused) chains cotangents
+    backward exactly -- gradient identical to the single-program
+    adjoint at machine precision (test_adjoint), memory bounded by
+    one segment. Pick segment_steps so the segment's backward fits
+    (<= ~1000 steps at the 4609x577x3 channel).
     Returns fn(state0, (tauxo, tauyo, fnetoc), n_steps, step0=0)
     -> (loss_value, OceanSensitivity). n_steps is jit-static.
 
@@ -103,7 +113,66 @@ def ocean_sensitivity(model: Model, loss: Callable[[OceanState],
 
     if jit:
         fn = jax.jit(fn, static_argnames=("n_steps",))
-    return fn
+    if not segment_steps:
+        return fn
+
+    # ---- host-level segment chaining ------------------------------
+    # grad of run_N = chained VJPs of run_seg: forward once storing
+    # the segment-start states on the host, then walk backward
+    # seg-by-seg: cot_in, cot_mf_k = VJP_seg(cot_out); the forcing
+    # gradient is the sum over segments (the same mean forcing feeds
+    # every step). Exact -- same chain rule the one-program reverse
+    # pass applies, just cut at host boundaries.
+    fwd_seg = jax.jit(
+        lambda s, mf, step0: run(s, ocean_forcing_from_mean(model, *mf),
+                                 segment_steps, step0),
+        static_argnames=())
+
+    def seg_run(s, mf, nsteps, step0):
+        return run(s, ocean_forcing_from_mean(model, *mf), nsteps,
+                   step0)
+
+    @jax.jit
+    def seg_vjp(s_k, mf, step0, cot):
+        # full-segment program: cotangent-in from the segment's final
+        # state; returns (cot_state_in, cot_mf_k)
+        _, vjp_fn = jax.vjp(
+            lambda s, m: seg_run(s, m, segment_steps, step0), s_k, mf)
+        return vjp_fn(cot)
+
+    @jax.jit
+    def final_seg(s_k, mf, step0):
+        # last segment: value + gradients of loss(final state)
+        val, (gs, gmf) = jax.value_and_grad(
+            lambda s, m: loss(seg_run(s, m, segment_steps, step0)),
+            argnums=(0, 1))(s_k, mf)
+        return val, gs, gmf
+
+    def fn_seg(state0, mean_forcing, n_steps: int, step0=0):
+        if n_steps % segment_steps:
+            raise ValueError(
+                f"n_steps ({n_steps}) must be a multiple of "
+                f"segment_steps ({segment_steps})")
+        k_segs = n_steps // segment_steps
+        mf = tuple(jnp.asarray(x) for x in mean_forcing)
+        import numpy as np
+        # forward: store each segment-start state on the HOST (one
+        # device->host fetch per segment; K*state would blow HBM)
+        starts = [jax.tree.map(np.asarray, state0)]
+        st = state0
+        for k in range(k_segs - 1):
+            st = fwd_seg(st, mf, step0 + k * segment_steps)
+            starts.append(jax.tree.map(np.asarray, st))
+        # backward sweep
+        val, cot, gmf = final_seg(
+            starts[-1], mf, step0 + (k_segs - 1) * segment_steps)
+        for k in range(k_segs - 2, -1, -1):
+            cot, gmf_k = seg_vjp(starts[k], mf,
+                                 step0 + k * segment_steps, cot)
+            gmf = jax.tree.map(jnp.add, gmf, gmf_k)
+        return val, OceanSensitivity(state0=cot, forcing=gmf)
+
+    return fn_seg
 
 
 def layer1_energy_proxy(model: Model):

@@ -440,10 +440,23 @@ def cmd_sense(args):
            else layer1_energy_proxy(model))
     print(f"objective={args.objective}, horizon {args.days} d = "
           f"{n_steps} ocean steps, remat={args.remat}")
-    sens = ocean_sensitivity(
-        model, obj,
-        remat={"true": True, "dots": "dots",
-               "false": False}[args.remat])
+    remat = {"true": True, "dots": "dots", "false": False}.get(
+        args.remat)
+    if remat is None:
+        # integer = per-level fan-out of the nested checkpointed scan
+        # (memory ~ levels * N carries; stepper.REMAT_LEVEL default)
+        remat = int(args.remat)
+    seg = 0
+    if args.segment_days:
+        seg = max(1, round(args.segment_days * SECDAY / cfg.dto))
+        if n_steps % seg:
+            raise SystemExit(
+                f"--segment-days: {args.days} days is not a multiple "
+                f"of {args.segment_days}-day segments")
+        print(f"host-level segments of {seg} steps "
+              f"({n_steps // seg} segments)")
+    sens = ocean_sensitivity(model, obj, remat=remat,
+                             segment_steps=seg)
     val, g = sens(oc0, mf, n_steps)
 
     outdir = args.outdir or os.path.join(case, "outdata")
@@ -707,10 +720,16 @@ def main(argv=None):
                     "zonal-mean layer-1 zonal transport (channels)")
     ps.add_argument("--days", type=float, default=10.0,
                     help="sensitivity horizon in model days")
-    ps.add_argument("--remat", choices=["true", "dots", "false"],
-                    default="true",
-                    help="backward-pass memory policy "
+    ps.add_argument("--remat", default="true",
+                    help="backward-pass memory policy: true | dots | "
+                    "false | an integer nested-scan fan-out "
                     "(docs/adjoint.md)")
+    ps.add_argument("--segment-days", type=float, default=0.0,
+                    dest="segment_days",
+                    help="host-level checkpointing: chain exact "
+                    "per-segment VJPs of this many days each, for "
+                    "horizons whose one-program backward exceeds "
+                    "HBM (must divide --days)")
     ps.add_argument("--outdir")
     add_grid(ps)
     ps.set_defaults(fn=cmd_sense)

@@ -32,9 +32,9 @@ ATMOS_AVG_PERIOD = 100  # atmos steps between averagings
 
 def _remat_wrap(body, remat):
     """jax.checkpoint wrapper for the scan bodies (reverse-mode
-    memory control, adjoint.py). remat=True: full rematerialisation
-    -- the backward pass stores only the per-iteration carry, the
-    long-horizon memory bound. remat="dots": additionally save MXU
+    memory control, adjoint.py). remat truthy: rematerialise the
+    body -- the backward pass stores only the per-iteration carry,
+    not the step internals. remat="dots": additionally save MXU
     dot outputs (the spectral-solve GEMMs), measured 18% faster
     backward at production channel scale (24.7 vs 30.2 ms/step,
     BENCHMARKS.md round 5) at the cost of retaining grid-sized GEMM
@@ -46,6 +46,54 @@ def _remat_wrap(body, remat):
         return jax.checkpoint(
             body, policy=jax.checkpoint_policies.dots_saveable)
     return jax.checkpoint(body)
+
+
+# Per-iteration carry checkpointing alone is O(n) carries on the
+# backward pass -- 2400 saved production-channel states measured an
+# attempted 105 GB allocation on the 16 GB v5e. Nested checkpointed
+# scans bound it at O(levels * LEVEL) carries (the classic
+# multi-level/treeverse trade: one extra forward recompute per
+# nesting level). LEVEL=16 keeps the 30-day production-channel
+# adjoint around ~40 saved carries (~6 GB at the southern state
+# size); 32 measured a worker OOM crash at the same horizon.
+REMAT_LEVEL = 16
+
+
+def _remat_scan(body, carry, length, remat, level=None):
+    """lax.scan(body) over `length` iterations with multi-level
+    rematerialisation when `remat` is set. The per-level fan-out is
+    LEVEL (= `remat` when it is an int >= 2): a run of N iterations
+    nests ceil(log_LEVEL N) checkpointed scan levels, so reverse-mode
+    stores at most ~levels*LEVEL carries while each level's backward
+    recomputes its chunk forward once. body: (carry, None) ->
+    (carry, None)."""
+    if not remat:
+        carry, _ = jax.lax.scan(body, carry, None, length=length)
+        return carry
+    if level is None:
+        level = remat if isinstance(remat, int) \
+            and not isinstance(remat, bool) and remat >= 2 \
+            else REMAT_LEVEL
+    body = _remat_wrap(body, remat)
+
+    def run(fn, carry, n):
+        # fn is the current level's unit (the leaf body, or a
+        # checkpointed chunk of the level below)
+        if n <= level:
+            carry, _ = jax.lax.scan(fn, carry, None, length=n)
+            return carry
+        chunks, rem = divmod(n, level)
+
+        def chunk(c, _):
+            c2, _ = jax.lax.scan(fn, c, None, length=level)
+            return c2, None
+
+        carry = run(jax.checkpoint(chunk), carry, chunks)
+        if rem:
+            carry, _ = jax.lax.scan(fn, carry, None, length=rem)
+        return carry
+
+    return run(body, carry, length)
 
 
 def average_ocean_levels(st: OceanState) -> OceanState:
@@ -131,10 +179,9 @@ def make_ocean_only_runner(model: Model, jit: bool = True, mesh=None,
             st = one(one(st, n), n + 1)
             return (st, n + 2), None
 
-        body = _remat_wrap(body, remat)
         pairs, rem = divmod(n_steps, 2)
-        (state, n), _ = jax.lax.scan(
-            body, (state, jnp.asarray(step0)), None, length=pairs)
+        state, n = _remat_scan(body, (state, jnp.asarray(step0)),
+                               pairs, remat)
         if rem:
             if mesh is not None:
                 state = constrain_tree(state, mesh)
@@ -269,12 +316,11 @@ def make_coupled_runner(model: Model, jit: bool = True, mesh=None,
             at, _ = jax.lax.scan(abody, at, jnp.arange(nstr))
             return (oc, at, c + 1), None
 
-        # per-CYCLE rematerialisation (adjoint.py): the backward pass
-        # stores one (ocean, atmos) carry per coupling cycle and
+        # per-CYCLE (multi-level) rematerialisation (adjoint.py): the
+        # backward pass stores bounded (ocean, atmos) carries and
         # recomputes xforc + substeps' internals
-        cycle = _remat_wrap(cycle, remat)
-        (ocean, atmos, _), _ = jax.lax.scan(
-            cycle, (ocean, atmos, cyc0), None, length=n_cycles)
+        ocean, atmos, _ = _remat_scan(cycle, (ocean, atmos, cyc0),
+                                      n_cycles, remat)
         return ocean, atmos
 
     if jit:
