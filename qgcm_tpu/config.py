@@ -147,6 +147,19 @@ class ModelConfig:
     # ~6e-5 -- opt in when throughput matters more than the last three
     # digits of the inversion).
     solver_precision: str = "highest"
+    # Compute BOTH fluids' mixed layers in float64 on float32 runs
+    # (store stays float32). None = auto: ON for float32 models. The
+    # mixed-layer clamps (ocean SST convection floor omlsubs.F:115-118;
+    # atmos min-thickness fixer amlsubs.F:118-150) are non-smooth
+    # switches; under f32 roundoff they can decouple the leapfrog time
+    # levels at a switching front and the advection-diffusion then
+    # runs away EXPLOSIVELY (measured: a healthy forced-channel
+    # realisation went 9 K -> NaN within 160 steps at day 87; the
+    # identical state continued in f64 stays bounded, and computing
+    # just the mixed layer in f64 removes the runaway -- round-5
+    # notes). The reference never sees this because Fortran Q-GCM is
+    # double precision throughout. Resolved by ml_f64_enabled().
+    ml_f64: bool = None
 
     # ------------------------------------------------------------------
     # Derived grid quantities (reference src/parameters_data.F:77-99)
@@ -278,6 +291,13 @@ def pallas_enabled(cfg: ModelConfig) -> bool:
         return cfg.use_pallas
     import jax
     return cfg.dtype == "float32" and jax.default_backend() == "tpu"
+
+
+def ml_f64_enabled(cfg: ModelConfig) -> bool:
+    """Resolve ModelConfig.ml_f64 (None = auto: on for float32)."""
+    if cfg.ml_f64 is not None:
+        return cfg.ml_f64
+    return cfg.dtype == "float32"
 
 
 def double_gyre_ocean_only(**overrides) -> ModelConfig:

@@ -111,9 +111,21 @@ def _amladf(model: Model, ast, astm, hmixa, hmixam, pa1,
 def _aml(model: Model, state: AtmosState, forcing: AtmosForcing):
     """Step the atmospheric mixed layer (aml, src/amlsubs.F:47-240).
     Returns (ast, astm, hmixa, hmixam, entat, xan1, enis1, enin1,
-    cfraat, centat)."""
+    cfraat, centat).
+
+    On float32 models the AST/hmixa PREDICTION + clamp chain runs in
+    FLOAT64 by default (store stays f32; config.ml_f64): the
+    min-thickness fixer and the diabatic-limit branches are non-smooth
+    switches of the same class as the ocean SST convection clamp,
+    which measurably decouples the f32 leapfrog time levels at a
+    switching front and runs away (see models/ocean._oml). The
+    stencil-heavy RHS (_amladf), the entrainment fields and the
+    reductions stay in the storage dtype -- the same measured
+    sufficient split as the ocean. The f64 reference never sees the
+    regime."""
     cfg = model.cfg
     g = model.grids
+    sdt = state.ast.dtype
     tat = [float(t) for t in model.rad.tat]
     tdta = 2.0 * cfg.dta
     hmat = cfg.mixed.hmat
@@ -128,34 +140,40 @@ def _aml(model: Model, state: AtmosState, forcing: AtmosForcing):
     afacdp = (jnp.asarray(model.rad.aface, dtype=state.pa.dtype)
               / jnp.asarray(cfg.atmos.gpat, dtype=state.pa.dtype))
     xc1ast = ((1.0 - cfg.xcexp)
-              * jnp.asarray(model.rad.astbar, dtype=state.pa.dtype)
-              )[:, None]
+              * jnp.asarray(model.rad.astbar, dtype=sdt))[:, None]
 
-    astm, hmixam = state.astm, state.hmixam
-    tmrhs, hmrhs = _amladf(model, state.ast, astm, state.hmixa, hmixam,
-                           state.pa[0], forcing)
+    tmrhs, hmrhs = _amladf(model, state.ast, state.astm, state.hmixa,
+                           state.hmixam, state.pa[0], forcing)
 
-    # hmixa prediction (7.16) with min-thickness fixer
+    from ..config import ml_f64_enabled
+    ct = (jnp.float64 if ml_f64_enabled(cfg) and sdt == jnp.float32
+          else sdt)
+    astm, hmixam = state.astm.astype(ct), state.hmixam.astype(ct)
+
+    # hmixa prediction (7.16) with min-thickness fixer, in `ct`
     diab = astm <= diabcr
     denom = jnp.where(diab, tat[0] - astm, 1.0)
     dhdiab = hdrcdt * (hmixam - hmat) / denom
-    hnew0 = hmixam + tdta * hmrhs - dhdiab
+    hnew0 = hmixam + tdta * hmrhs.astype(ct) - dhdiab
     dhfix = jnp.maximum(cfg.mixed.hmamin - hnew0, 0.0)
-    hnew = jnp.where(diab, hnew0 + dhfix, hmat)
+    hnew = jnp.where(diab, hnew0 + dhfix, hmat).astype(sdt)
     dtfix = jnp.where(diab, dhfix * (tat[0] - astm) / hmixam, 0.0)
 
-    # AST prediction (7.17)
-    trhtot = (tmrhs + rrcpat * forcing.fnetat / hmixam
-              - hmainv * forcing.wekta * astm)
+    # AST prediction (7.17), in `ct`
+    trhtot = (tmrhs.astype(ct)
+              + rrcpat * forcing.fnetat.astype(ct) / hmixam
+              - hmainv * forcing.wekta.astype(ct) * astm)
     astnew = astm + tdta * trhtot + dtfix
+    dtanew = tat[0] - astnew
+    astnew = (astnew + jnp.minimum(0.0, dtanew)).astype(sdt)
+    dtanew = dtanew.astype(sdt)
+    astm, hmixam = state.astm, state.hmixam
 
     # Entrainment across interface 1 at T points (7.18), then
-    # convective correction (7.19)
+    # convective correction (7.19) -- storage dtype
     xfaent = xbfac * (hmixam - hmat) + dface * (cfg.xcexp * astm + xc1ast)
-    dtanew = tat[0] - astnew
     conena = entfac * state.hmixa * jnp.minimum(0.0, dtanew)
     xfa = xfaent - cfg.xcexp * conena
-    astnew = astnew + jnp.minimum(0.0, dtanew)
 
     cfraat = jnp.mean(jnp.where(dtanew < 0.0, 1.0, 0.0))
     centat = -jnp.sum(conena) * g.dxa * g.dya

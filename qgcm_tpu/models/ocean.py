@@ -181,8 +181,21 @@ def boundary_flux_diags(model: Model, state: OceanState,
 def _oml(model: Model, state: OceanState, forcing: OceanForcing):
     """Step the ocean mixed layer (oml, src/omlsubs.F:47-236).
     Returns (sst_new, sstm_new, entoc, xon1, enis1, enin1, conv diags).
-    """
+
+    On float32 models the SST PREDICTION + CONVECTION CLAMP chain runs
+    in FLOAT64 by default (store stays f32; config.ml_f64): the
+    convection clamp is a non-smooth switch, and under f32 roundoff it
+    can decouple the SST leapfrog time levels at a convecting front,
+    after which the advection-diffusion runs away explosively (9 K ->
+    NaN within 160 steps measured at a forced-channel front; the same
+    state continued in f64 stays bounded). Promoting JUST this
+    elementwise chain is measured sufficient to remove the runaway
+    (round-5 notes); the stencil-heavy RHS, the entrainment fields and
+    all reductions stay in the storage dtype, so the cost is a handful
+    of f64 elementwise ops. The Fortran reference is double precision
+    throughout and never sees the regime."""
     cfg = model.cfg
+    sdt = state.sst.dtype
     toc = [float(t) for t in model.rad.toc]   # python floats: weak-typed
     tdto = 2.0 * cfg.dto
     hmoinv = 1.0 / cfg.mixed.hmoc
@@ -193,16 +206,26 @@ def _oml(model: Model, state: OceanState, forcing: OceanForcing):
     rhs = _omladf(model, state.sst, state.sstm, state.po[0],
                   forcing.tauxo, forcing.tauyo)
 
-    # SST prediction (7.11), entrainment (7.12), convection (7.13)
-    diabat = 0.5 * forcing.wekto * (state.sstm + toc[0])
-    sstnew = state.sstm + tdto * (
-        rhs + hmoinv * (rrcpoc * forcing.fnetoc + diabat))
-    xfoent = -(0.5 * dtoinv) * forcing.wekto * (state.sstm - toc[0])
+    from ..config import ml_f64_enabled
+    ct = (jnp.float64 if ml_f64_enabled(cfg) and sdt == jnp.float32
+          else sdt)
+
+    # SST prediction (7.11) + convection clamp (7.13) in `ct`
+    diabat = 0.5 * forcing.wekto.astype(ct) * (state.sstm.astype(ct)
+                                               + toc[0])
+    sstnew = state.sstm.astype(ct) + tdto * (
+        rhs.astype(ct)
+        + hmoinv * (rrcpoc * forcing.fnetoc.astype(ct) + diabat))
     dtonew = toc[0] - sstnew
     conv = jnp.maximum(0.0, dtonew)
+    sstnew = (sstnew + conv).astype(sdt)
+    conv = conv.astype(sdt)
+    dtonew = dtonew.astype(sdt)
+
+    # entrainment (7.12) and everything downstream in the storage dtype
+    xfoent = -(0.5 * dtoinv) * forcing.wekto * (state.sstm - toc[0])
     coneno = entfac * conv
     xfo = xfoent - coneno
-    sstnew = sstnew + conv
 
     cfraoc = jnp.mean(jnp.where(dtonew > 0.0, 1.0, 0.0))
     centoc = -jnp.sum(coneno) * model.grids.dxo * model.grids.dyo
